@@ -1,0 +1,538 @@
+"""Unicycle PI-ADMM planner: classic (stacked) and per-pair (gated) engines.
+
+TPU-native re-implementation of the reference's PI-ADMM line (SURVEY.md
+C10-C14):
+
+* **classic** engine ≙ ``casadi_old_PI_ADMM/main.py`` / MATLAB
+  ``ADMM_CVX_two_veh_intesection_PI_antiwindup.m``: one stacked consensus
+  state per vehicle, edge solves all vehicles jointly, PI dual update with
+  anti-windup and adaptive rho.
+* **pairwise** engine ≙ ``casadi/main.py``: per-ordered-pair consensus cells
+  ``hat_pos[i, j]`` and duals, collision-pair gating via ``edge_mat`` with
+  early exit, per-pair edge subproblems — the scalable layout for the
+  16-vehicle benchmark (dense ``[P, ...]`` tensors + masks instead of
+  ``np.where(edge_mat == 1)`` gathers).
+
+Key TPU redesigns vs the reference (SURVEY.md §3 hot loops, §7):
+
+1. The reference rebuilds a CasADi+IPOPT/OSQP solver instance per subproblem
+   per ADMM iteration per MPC step. Here each subproblem family is traced
+   once: local solves are one vmapped batched QP; edge solves are a
+   sequential-convexification loop (linearize the nonlinear edge rollout,
+   solve a slack-form hinge QP) — also batched.
+2. The collision hinge ``beta * max(0, thres^2 - dis)`` becomes slack
+   variables ``t >= 0, t >= thres^2 - dis`` in the QP (exact reformulation of
+   the convexified subproblem).
+3. The inner ADMM loop is a ``lax.while_loop`` with a convergence flag — the
+   compiled step runs exactly as many iterations as the reference's
+   early-breaking Python loop.
+4. The old Python port's ``range(num_veh-1)`` edge-AL bug (only vehicle 0
+   entered the AL term, ``casadi_old_PI_ADMM/PI_ADMM_class.py:147-171``) is
+   fixed to the MATLAB semantics (``cost_function_edge.m:15-35``): every
+   vehicle's trajectory enters the AL, every ordered pair enters the hinge.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (DualStrategy, DualUpdateConfig, PiAdmmConfig,
+                      SolverConfig)
+from ..coordination.dual_update import DualState, init_dual_state, update_dual
+from ..coordination.residuals import (min_pair_distance, per_edge_residuals,
+                                      stacked_residuals)
+from ..ops.dynamics import unicycle_rollout_edge, unicycle_rollout_local
+from ..ops.pairs import num_pairs, pair_indices
+from ..solvers.qp import solve_qp
+
+
+# %% affine models of the rollouts -------------------------------------------
+
+def _local_affine(xt_i, spd_i, horizon, dt, wheel_base):
+    """pos(u) = pos0 + B u for the locally-linearized rollout (exact: the
+    local rollout is affine in u — ref ``PI_ADMM_class.py:45-70``)."""
+
+    def roll(u):
+        x, y, _ = unicycle_rollout_local(xt_i, u, spd_i, dt, wheel_base)
+        return jnp.concatenate([x, y])
+
+    zero = jnp.zeros(horizon, xt_i.dtype)
+    return roll(zero), jax.jacfwd(roll)(zero)
+
+
+def _edge_affine(xt_i, spd_i, u0_i, dt, wheel_base):
+    """First-order model of the *nonlinear* edge rollout at u0 (the SQP
+    linearization replacing IPOPT's internal handling of
+    ``dynamic_update_edge``, ref ``PI_ADMM_class.py:77-105``)."""
+
+    def roll(u):
+        x, y, _ = unicycle_rollout_edge(xt_i, u, spd_i, dt, wheel_base)
+        return jnp.concatenate([x, y])
+
+    return roll(u0_i), jax.jacfwd(roll)(u0_i)
+
+
+# %% local (vehicle-side) QP --------------------------------------------------
+
+def _second_diff(h: int) -> np.ndarray:
+    d = np.zeros((max(h - 2, 0), h))
+    for k in range(h - 2):
+        d[k, k], d[k, k + 1], d[k, k + 2] = 1.0, -2.0, 1.0
+    return d
+
+
+def _first_diff(h: int) -> np.ndarray:
+    d = np.zeros((max(h - 1, 0), h))
+    for k in range(h - 1):
+        d[k, k], d[k, k + 1] = -1.0, 1.0
+    return d
+
+
+class _LocalStatics(NamedTuple):
+    d2: jnp.ndarray       # [H-2, H] second difference (steering smoothness)
+    a_con: jnp.ndarray    # [H + H-1, H] box + rate constraint rows
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+
+def _local_statics(cfg: PiAdmmConfig, dtype) -> _LocalStatics:
+    h = cfg.horizon
+    d2 = jnp.asarray(_second_diff(h), dtype)
+    a_con = jnp.asarray(np.vstack([np.eye(h), _first_diff(h)]), dtype)
+    lo = jnp.concatenate([jnp.full(h, -cfg.u_max, dtype),
+                          jnp.full(h - 1, -cfg.du_max, dtype)])
+    hi = -lo
+    return _LocalStatics(d2, a_con, lo, hi)
+
+
+def _solve_local_qp(pos0, b_mat, ref_flat, hats, duals, al_w, rho,
+                    u_warm, statics: _LocalStatics, cfg: PiAdmmConfig,
+                    scfg: SolverConfig):
+    """One vehicle's primal QP (ref ``cost_function_primal``,
+    ``PI_ADMM_class.py:110-133``).
+
+    ``hats/duals``: ``[K, 2(H+1)]`` consensus/dual terms with weights
+    ``al_w [K]`` (K = 1 stacked, K = V-1 per-pair).
+    """
+    btb = b_mat.T @ b_mat
+    p_mat = (2.0 * cfg.p_norm * btb
+             + 2.0 * statics.d2.T @ statics.d2
+             + 2.0 * cfg.p_cost * jnp.eye(cfg.horizon, dtype=pos0.dtype)
+             + rho * jnp.sum(al_w) * btb)
+    q = 2.0 * cfg.p_norm * b_mat.T @ (pos0 - ref_flat)
+    resid = pos0[None, :] - hats + duals           # [K, 2(H+1)]
+    q = q + rho * b_mat.T @ jnp.sum(al_w[:, None] * resid, axis=0)
+    sol = solve_qp(p_mat, q, statics.a_con, statics.lo, statics.hi, scfg,
+                   x0=u_warm)
+    return sol.x, pos0 + b_mat @ sol.x
+
+
+# %% edge (coordinator-side) QP ----------------------------------------------
+
+def _hinge_rows(be_i, be_j, pose0_i, pose0_j, last_dis, horizon):
+    """Affine model of dis_temp_k for one pair at steps k = 1..H.
+
+    ``dis_temp_k(u) = 2 <last_dis, pos_j_k - pos_i_k> - ||last_dis||^2``
+    (ref ``cost_function_edge``, ``casadi/PI_ADMM_class.py:149-151``).
+    Returns (const [H], g_i [H, H], g_j [H, H]) with
+    ``dis_temp = const - g_i @ u_i + g_j @ u_j``.
+    """
+    h = horizon
+    # rows of the flat pos vector: x_k at k, y_k at (H+1)+k, k = 1..H
+    sel = jnp.arange(1, h + 1)
+    gx_i, gy_i = be_i[sel, :], be_i[h + 1 + sel, :]
+    gx_j, gy_j = be_j[sel, :], be_j[h + 1 + sel, :]
+    px_i, py_i = pose0_i[sel], pose0_i[h + 1 + sel]
+    px_j, py_j = pose0_j[sel], pose0_j[h + 1 + sel]
+    ldx, ldy = last_dis[0], last_dis[1]
+    const = (2.0 * (ldx * (px_j - px_i) + ldy * (py_j - py_i))
+             - (ldx * ldx + ldy * ldy))
+    g_i = 2.0 * (ldx * gx_i + ldy * gy_i)
+    g_j = 2.0 * (ldx * gx_j + ldy * gy_j)
+    return const, g_i, g_j
+
+
+def _solve_pair_edge_qp(xt_pair, spd_pair, pos_old_pair, dual_pair, last_dis,
+                        u0, cfg: PiAdmmConfig, scfg: SolverConfig,
+                        n_sqp: int = 2):
+    """Edge subproblem for ONE vehicle pair via sequential convexification.
+
+    Decision: ``w = [u_i (H), u_j (H), t (H)]``; objective
+    ``2 beta sum(t) + Pcost ||u||^2 + rho/2 ||pos_old - pos_e(u) + dual||^2``;
+    constraints box/rate on u, ``t >= 0``, ``t + dis_temp(u) >= thres^2``.
+    The factor 2 on beta counts both ordered directions of the pair
+    (MATLAB ``cost_function_edge.m:15-30`` sums over ordered pairs).
+
+    Ref: the per-pair OSQP solve ``casadi/main.py:120-153``.
+    """
+    h = cfg.horizon
+    dtype = pos_old_pair.dtype
+    n = 3 * h
+    rho = cfg.rho
+
+    eye_h = jnp.eye(h, dtype=dtype)
+    d1 = jnp.asarray(_first_diff(h), dtype)
+    big = jnp.asarray(jnp.inf, dtype)
+
+    # constant constraint rows: box u (2H), rate (2(H-1)), t >= 0 (H)
+    zeros_hh = jnp.zeros((h, h), dtype)
+    a_box = jnp.concatenate([jnp.eye(2 * h, dtype=dtype),
+                             jnp.zeros((2 * h, h), dtype)], axis=1)
+    a_rate = jnp.block([[d1, zeros_hh[: h - 1, :], zeros_hh[: h - 1, :]],
+                        [zeros_hh[: h - 1, :], d1, zeros_hh[: h - 1, :]]])
+    a_tpos = jnp.concatenate([jnp.zeros((h, 2 * h), dtype), eye_h], axis=1)
+
+    lo_c = jnp.concatenate([jnp.full(2 * h, -cfg.u_max, dtype),
+                            jnp.full(2 * (h - 1), -cfg.du_max, dtype),
+                            jnp.zeros(h, dtype)])
+    hi_c = jnp.concatenate([jnp.full(2 * h, cfg.u_max, dtype),
+                            jnp.full(2 * (h - 1), cfg.du_max, dtype),
+                            jnp.full(h, big, dtype)])
+
+    def sqp_iter(carry, _):
+        u_lin, _ = carry
+        pose0_i, be_i = _edge_affine(xt_pair[0], spd_pair[0], u_lin[0],
+                                     cfg.dt, cfg.wheel_base)
+        pose0_j, be_j = _edge_affine(xt_pair[1], spd_pair[1], u_lin[1],
+                                     cfg.dt, cfg.wheel_base)
+        # affine pos_e(u) = c + Be u with c = pose0 - Be u_lin
+        c_i = pose0_i - be_i @ u_lin[0]
+        c_j = pose0_j - be_j @ u_lin[1]
+
+        # quadratic objective blocks
+        p_mat = jnp.zeros((n, n), dtype)
+        p_mat = p_mat.at[: 2 * h, : 2 * h].add(
+            2.0 * cfg.p_cost * jnp.eye(2 * h, dtype=dtype))
+        p_mat = p_mat.at[:h, :h].add(rho * be_i.T @ be_i)
+        p_mat = p_mat.at[h: 2 * h, h: 2 * h].add(rho * be_j.T @ be_j)
+        # AL linear terms: rho/2 ||d - Be u||^2, d = pos_old + dual - c
+        d_i = pos_old_pair[0] + dual_pair[0] - c_i
+        d_j = pos_old_pair[1] + dual_pair[1] - c_j
+        q = jnp.concatenate([-rho * be_i.T @ d_i, -rho * be_j.T @ d_j,
+                             jnp.full(h, 2.0 * cfg.beta, dtype)])
+
+        # hinge rows: t + dis_temp(u) >= thres^2
+        const, g_i, g_j = _hinge_rows(be_i, be_j, c_i, c_j, last_dis, h)
+        a_hinge = jnp.concatenate([-g_i, g_j, eye_h], axis=1)
+        lo_h = cfg.dis_thres ** 2 - const
+        hi_h = jnp.full(h, big, dtype)
+
+        a_mat = jnp.concatenate([a_box, a_rate, a_tpos, a_hinge], axis=0)
+        lo = jnp.concatenate([lo_c, lo_h])
+        hi = jnp.concatenate([hi_c, hi_h])
+        w0 = jnp.concatenate([u_lin.reshape(-1), jnp.zeros(h, dtype)])
+        sol = solve_qp(p_mat, q, a_mat, lo, hi, scfg, x0=w0)
+        u_new = sol.x[: 2 * h].reshape(2, h)
+        return (u_new, sol.converged), None
+
+    init = (u0, jnp.asarray(False))
+    (u_opt, conv), _ = jax.lax.scan(sqp_iter, init, None, length=n_sqp)
+    # consensus trajectories from the true nonlinear edge rollout
+    # (ref casadi/main.py:156-158)
+    ex, ey, _ = unicycle_rollout_edge(xt_pair, u_opt, spd_pair,
+                                      cfg.dt, cfg.wheel_base)
+    hat_pair = jnp.stack([ex, ey], axis=1)      # [2 sides, 2 xy, H+1]
+    return u_opt, hat_pair, conv
+
+
+# %% engine -------------------------------------------------------------------
+
+class StepRecord(NamedTuple):
+    xt: jnp.ndarray            # [V, 3] state after the step
+    u_applied: jnp.ndarray     # [V] first control of each vehicle
+    iterations: jnp.ndarray    # ADMM iterations used this step
+    primal_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    rho: jnp.ndarray
+    dual_min: jnp.ndarray
+    dual_max: jnp.ndarray
+
+
+class PiAdmmEngine:
+    """Receding-horizon PI-ADMM planner (classic or pairwise layout).
+
+    ``layout='classic'``: stacked consensus per vehicle (2-vehicle reference
+    semantics); ``layout='pairwise'``: per-pair cells with proximity gating.
+    """
+
+    def __init__(self, cfg: PiAdmmConfig = PiAdmmConfig(),
+                 dual_cfg: DualUpdateConfig = DualUpdateConfig(),
+                 solver_cfg: SolverConfig = SolverConfig(),
+                 layout: str = "classic",
+                 refs: Optional[np.ndarray] = None,
+                 n_sqp: int = 2,
+                 al_mask_active_pairs: bool = True,
+                 dtype=jnp.float64):
+        from .. import scenarios
+        self.cfg = cfg
+        self.dual_cfg = dual_cfg
+        self.solver_cfg = solver_cfg
+        assert layout in ("classic", "pairwise")
+        if layout == "classic" and cfg.num_veh != 2:
+            raise ValueError("classic layout is the 2-vehicle reference "
+                             "semantics; use layout='pairwise' for N > 2")
+        self.layout = layout
+        self.n_sqp = n_sqp
+        self.al_mask_active_pairs = al_mask_active_pairs
+        self.dtype = dtype
+        if refs is None:
+            refs = scenarios.pi_admm_crossing_refs(cfg)
+        self.refs = jnp.asarray(refs, dtype)          # [V, 2, N]
+        self.spd = jnp.asarray(cfg.speeds, dtype)
+        self.statics = _local_statics(cfg, dtype)
+        self.n_pairs = num_pairs(cfg.num_veh)
+        self._mpc_step = jax.jit(self._mpc_step_impl)
+
+    # -- shared pieces ---------------------------------------------------
+
+    def _ref_window(self, step_idx):
+        """[V, 2(H+1)] flattened reference slice (x block then y block),
+        ref ``cost_function_primal`` slicing ``PI_ADMM_class.py:116-117``."""
+        h1 = self.cfg.horizon + 1
+        win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, h1, axis=2)
+        return jnp.concatenate([win[:, 0, :], win[:, 1, :]], axis=-1)
+
+    def _local_solve(self, xt, u_warm, ref_flat, hats, duals, al_w, rho):
+        """vmapped local QPs; hats/duals [V, K, 2(H+1)], al_w [V, K]."""
+
+        def one(xt_i, spd_i, warm_i, ref_i, hat_i, dual_i, w_i):
+            pos0, b_mat = _local_affine(xt_i, spd_i, self.cfg.horizon,
+                                        self.cfg.dt, self.cfg.wheel_base)
+            return _solve_local_qp(pos0, b_mat, ref_i, hat_i, dual_i, w_i,
+                                   rho, warm_i, self.statics, self.cfg,
+                                   self.solver_cfg)
+
+        u, pos_flat = jax.vmap(one)(xt, self.spd, u_warm, ref_flat, hats,
+                                    duals, al_w)
+        h1 = self.cfg.horizon + 1
+        pos = jnp.stack([pos_flat[:, :h1], pos_flat[:, h1:]], axis=1)
+        return u, pos                                  # [V, H], [V, 2, H+1]
+
+    def _plant_rollout(self, xt, u):
+        """Prediction/plant rollout of the local controls
+        (ref ``main.py:128,185``: ``dynamic_update_edge`` numeric)."""
+        return unicycle_rollout_edge(xt, u, self.spd, self.cfg.dt,
+                                     self.cfg.wheel_base)
+
+    # -- one MPC step (jitted) -------------------------------------------
+
+    def _mpc_step_impl(self, xt, u_warm, step_idx):
+        if self.layout == "classic":
+            return self._mpc_step_classic(xt, u_warm, step_idx)
+        return self._mpc_step_pairwise(xt, u_warm, step_idx)
+
+    def _mpc_step_classic(self, xt, u_warm, step_idx):
+        cfg = self.cfg
+        v, h = cfg.num_veh, cfg.horizon
+        h1 = h + 1
+        ref_flat = self._ref_window(step_idx)
+        # 1-step seed positions (ref main.py:44-45, without the np.around)
+        seed = jnp.stack([xt[:, 0] + cfg.dt * self.spd * jnp.cos(xt[:, 2]),
+                          xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])],
+                         axis=1)                       # [V, 2]
+        zero_cell = jnp.zeros((v, 2, h1), self.dtype)
+        dual0 = init_dual_state((v, 2, h1), cfg.rho, self.dtype)
+
+        def flat_cells(c):                             # [V,2,H+1] -> [V,1,2(H+1)]
+            return jnp.concatenate([c[:, 0, :], c[:, 1, :]], axis=-1)[:, None, :]
+
+        carry0 = dict(u=u_warm, pos=zero_cell, hat=zero_cell, hat_u=jnp.zeros(
+            (v, h), self.dtype), last_hat=zero_cell, dual=dual0,
+            it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+            r=jnp.asarray(0.0, self.dtype), s=jnp.asarray(0.0, self.dtype))
+
+        al_w = jnp.ones((v, 1), self.dtype)
+
+        def body(c):
+            # vehicle side
+            u, pos = self._local_solve(xt, c["u"], ref_flat,
+                                       flat_cells(c["hat"]),
+                                       flat_cells(c["dual"].dual), al_w,
+                                       c["dual"].rho)
+            # edge side: one joint problem == all pairs share variables; for
+            # the 2-vehicle classic case this is exactly one pair problem
+            idx_i, idx_j = pair_indices(cfg.num_veh)
+            xt_pair = jnp.stack([xt[idx_i[0]], xt[idx_j[0]]])
+            spd_pair = jnp.stack([self.spd[idx_i[0]], self.spd[idx_j[0]]])
+            pos_flat = jnp.concatenate([pos[:, 0, :], pos[:, 1, :]], axis=-1)
+            dual_flat = jnp.concatenate([c["dual"].dual[:, 0, :],
+                                         c["dual"].dual[:, 1, :]], axis=-1)
+            last_dis = seed[idx_j[0]] - seed[idx_i[0]]
+            hat_u, hat_pair, _ = _solve_pair_edge_qp(
+                xt_pair, spd_pair,
+                jnp.stack([pos_flat[idx_i[0]], pos_flat[idx_j[0]]]),
+                jnp.stack([dual_flat[idx_i[0]], dual_flat[idx_j[0]]]),
+                last_dis, c["hat_u"], cfg, self.solver_cfg, self.n_sqp)
+            hat = zero_cell.at[idx_i[0]].set(hat_pair[0]) \
+                           .at[idx_j[0]].set(hat_pair[1])
+
+            # dual update on the prediction rollout (ref main.py:128-151)
+            px, py, _ = self._plant_rollout(xt, u)
+            d_min = min_pair_distance(px, py, cfg.num_veh)
+            dual = update_dual(c["dual"], pos - hat, d_min, self.dual_cfg)
+
+            r, s = stacked_residuals(pos, hat, c["last_hat"], dual.rho)
+            clearance = jnp.sqrt((px[0, 1] - px[1, 1]) ** 2
+                                 + (py[0, 1] - py[1, 1]) ** 2)
+            ok = jnp.logical_and(r <= cfg.eps_pri, s <= cfg.eps_dual)
+            if cfg.stop_needs_clearance:
+                ok = jnp.logical_and(ok, clearance > cfg.dis_thres)
+            return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, last_hat=hat,
+                        dual=dual, it=c["it"] + 1, done=ok, r=r, s=s)
+
+        def cond(c):
+            return jnp.logical_and(jnp.logical_not(c["done"]),
+                                   c["it"] < cfg.iter_num)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return self._finish_step(xt, out["u"], out["it"], out["r"], out["s"],
+                                 out["dual"])
+
+    def _mpc_step_pairwise(self, xt, u_warm, step_idx):
+        cfg = self.cfg
+        v, h, p = cfg.num_veh, cfg.horizon, self.n_pairs
+        h1 = h + 1
+        idx_i, idx_j = pair_indices(v)
+        ref_flat = self._ref_window(step_idx)
+        seed = jnp.stack([xt[:, 0] + cfg.dt * self.spd * jnp.cos(xt[:, 2]),
+                          xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])],
+                         axis=1)
+
+        # consensus/dual cells per ordered pair: [P, 2 sides, 2 xy, H+1]
+        cell0 = jnp.zeros((p, 2, 2, h1), self.dtype)
+        dual0 = init_dual_state((p, 2, 2, h1), cfg.rho, self.dtype)
+
+        # gather map: for vehicle i, its (V-1) AL terms live at (pair, side)
+        side_of = np.zeros((v, v - 1, 2), np.int32)     # (pair_idx, side)
+        for vi in range(v):
+            k = 0
+            for pi_, (a, b) in enumerate(zip(idx_i, idx_j)):
+                if a == vi:
+                    side_of[vi, k] = (pi_, 0); k += 1
+                elif b == vi:
+                    side_of[vi, k] = (pi_, 1); k += 1
+        side_of = jnp.asarray(side_of)
+
+        def gather_terms(cells):
+            """[P,2,2,H+1] -> [V, V-1, 2(H+1)] per-vehicle AL terms."""
+            flat = jnp.concatenate([cells[:, :, 0, :], cells[:, :, 1, :]],
+                                   axis=-1)             # [P, 2, 2(H+1)]
+            return flat[side_of[..., 0], side_of[..., 1]]
+
+        carry0 = dict(u=u_warm, pos=jnp.zeros((v, 2, h1), self.dtype),
+                      hat=cell0, hat_u=jnp.zeros((p, 2, h), self.dtype),
+                      last_hat=cell0, dual=dual0,
+                      ever=jnp.zeros(p, bool), it=jnp.asarray(0, jnp.int32),
+                      done=jnp.asarray(False),
+                      r=jnp.asarray(0.0, self.dtype),
+                      s=jnp.asarray(0.0, self.dtype))
+
+        def body(c):
+            # AL weights: masked to ever-active pairs (reference includes all
+            # pairs unconditionally — see class docstring note 4 /
+            # al_mask_active_pairs)
+            if self.al_mask_active_pairs:
+                w = c["ever"].astype(self.dtype)[side_of[..., 0]]
+            else:
+                w = jnp.ones((v, v - 1), self.dtype)
+            u, pos = self._local_solve(xt, c["u"], ref_flat,
+                                       gather_terms(c["hat"]),
+                                       gather_terms(c["dual"].dual), w,
+                                       c["dual"].rho)
+
+            # gating (ref casadi/main.py:108-118): squared distance of the
+            # local rollouts vs the *unsquared* threshold, per pair
+            d2 = ((pos[idx_i, 0] - pos[idx_j, 0]) ** 2
+                  + (pos[idx_i, 1] - pos[idx_j, 1]) ** 2)   # [P, H+1]
+            active = jnp.any(d2 < cfg.dis_thres, axis=-1)
+            ever = jnp.logical_or(c["ever"], active)
+
+            # per-pair edge QPs, vmapped over all pairs, masked updates
+            pos_flat = jnp.concatenate([pos[:, 0, :], pos[:, 1, :]], axis=-1)
+            dual_cells = c["dual"].dual
+            dual_flat = jnp.concatenate([dual_cells[:, :, 0, :],
+                                         dual_cells[:, :, 1, :]], axis=-1)
+            last_dis = seed[idx_j] - seed[idx_i]            # [P, 2]
+
+            xt_pairs = jnp.stack([xt[idx_i], xt[idx_j]], axis=1)      # [P,2,3]
+            spd_pairs = jnp.stack([self.spd[idx_i], self.spd[idx_j]],
+                                  axis=1)                              # [P,2]
+            pos_pairs_flat = jnp.stack([pos_flat[idx_i], pos_flat[idx_j]],
+                                       axis=1)                # [P,2,2(H+1)]
+
+            def one_pair(xt_p, spd_p, pos_p, dual_p, ld_p, u0):
+                return _solve_pair_edge_qp(xt_p, spd_p, pos_p, dual_p, ld_p,
+                                           u0, cfg, self.solver_cfg,
+                                           self.n_sqp)
+
+            hat_u_new, hat_new, _ = jax.vmap(one_pair)(
+                xt_pairs, spd_pairs, pos_pairs_flat, dual_flat, last_dis,
+                c["hat_u"])
+            m = active[:, None, None, None]
+            hat = jnp.where(m, hat_new, c["hat"])
+            hat_u = jnp.where(active[:, None, None], hat_u_new, c["hat_u"])
+
+            # per-pair dual update (ref casadi/main.py:160-162): residual of
+            # each side vs its consensus cell; d_min per pair
+            pos_pairs = jnp.stack([pos[idx_i], pos[idx_j]], axis=1)
+            r_cells = pos_pairs - hat                      # [P, 2, 2, H+1]
+            d_pair = jnp.sqrt(jnp.min(d2, axis=-1))        # [P]
+            dual_new = update_dual(c["dual"], r_cells,
+                                   d_pair[:, None, None, None], self.dual_cfg)
+            # only active pairs move their dual state
+            dual = DualState(
+                dual=jnp.where(m, dual_new.dual, c["dual"].dual),
+                sum_err=jnp.where(m, dual_new.sum_err, c["dual"].sum_err),
+                diff_val=jnp.where(m, dual_new.diff_val, c["dual"].diff_val),
+                rho=dual_new.rho)
+
+            r, s = per_edge_residuals(pos_pairs[:, 0], hat[:, 0],
+                                      c["last_hat"][:, 0], dual.rho, active)
+            none_active = jnp.logical_and(jnp.sum(active) == 0,
+                                          jnp.logical_not(c["ever"].any()))
+            converged = jnp.logical_and(r <= cfg.eps_pri, s <= cfg.eps_dual)
+            done = jnp.logical_or(none_active, converged)
+            return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, last_hat=hat,
+                        dual=dual, ever=ever, it=c["it"] + 1, done=done,
+                        r=r, s=s)
+
+        def cond(c):
+            return jnp.logical_and(jnp.logical_not(c["done"]),
+                                   c["it"] < cfg.iter_num)
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        return self._finish_step(xt, out["u"], out["it"], out["r"], out["s"],
+                                 out["dual"])
+
+    def _finish_step(self, xt, u, iters, r, s, dual: DualState):
+        """Apply the first control and advance the plant
+        (ref ``main.py:168-174``)."""
+        px, py, pth = self._plant_rollout(xt, u)
+        xt_next = jnp.stack([px[:, 1], py[:, 1], pth[:, 1]], axis=-1)
+        rec = StepRecord(xt=xt_next, u_applied=u[:, 0], iterations=iters,
+                         primal_res=r, dual_res=s, rho=dual.rho,
+                         dual_min=jnp.min(dual.dual),
+                         dual_max=jnp.max(dual.dual))
+        return xt_next, u, rec
+
+    # -- full MPC run (host loop; scan version lives in mpc.driver) -------
+
+    def run(self, xt0: Optional[np.ndarray] = None, n_steps: Optional[int] = None):
+        from .. import scenarios
+        cfg = self.cfg
+        if xt0 is None:
+            xt0 = scenarios.pi_admm_initial_states(cfg)
+        xt = jnp.asarray(xt0, self.dtype)
+        u = jnp.zeros((cfg.num_veh, cfg.horizon), self.dtype)
+        n_steps = cfg.n_mpc_steps if n_steps is None else n_steps
+        records = []
+        for step in range(n_steps):
+            # shift-warm-start (ref main.py:85: init_u = [u[1:], u[-1]])
+            u = jnp.concatenate([u[:, 1:], u[:, -1:]], axis=1)
+            xt, u, rec = self._mpc_step(xt, u, jnp.asarray(step, jnp.int32))
+            records.append(jax.device_get(rec))
+        return jax.tree.map(lambda *xs: np.stack(xs), *records)

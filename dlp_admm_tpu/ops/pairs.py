@@ -20,9 +20,13 @@ import numpy as np
 
 @functools.lru_cache(maxsize=None)
 def pair_indices(num_veh: int):
-    """Static (i, j) index arrays of the P = n(n-1)/2 unordered pairs, i < j."""
-    idx_i, idx_j = np.triu_indices(num_veh, k=1)
-    return jnp.asarray(idx_i), jnp.asarray(idx_j)
+    """Static (i, j) index arrays of the P = n(n-1)/2 unordered pairs, i < j.
+
+    Returned as **numpy** arrays: they are static metadata used to build
+    gathers inside jitted code — caching device arrays here would leak tracers
+    through the lru_cache.
+    """
+    return np.triu_indices(num_veh, k=1)
 
 
 def num_pairs(num_veh: int) -> int:

@@ -1,0 +1,192 @@
+"""Batched dense primal-dual interior-point NLP solver.
+
+TPU-native replacement for IPOPT (SURVEY.md §2.2): every ``ca.nlpsol('ipopt')``
+site of the reference (``decentralized/optimizer.py:178,317``,
+``centralized/optimizer.py:81``, ``casadi_old_PI_ADMM/main.py:83,114``,
+``ALADIN_fun.py:34,107``) maps to a :func:`solve_nlp` call on an :class:`NLP`
+spec. Design points (SURVEY.md §7 hard part 1):
+
+* **dense linear algebra** — the OBCA subproblems have 50-700 variables;
+  dense KKT factorizations vmap cleanly and keep the MXU busy, unlike sparse
+  scalar pivoting
+* **fixed iteration count** with convergence masking (static shapes under jit)
+* **derivatives by AD** — ``jax.grad`` / ``jacfwd`` / ``jax.hessian`` replace
+  CasADi's symbolic differentiation; the Lagrangian Hessian is exact
+* **slack interior point** — inequalities ``ci(x) >= 0`` get slacks ``s > 0``
+  and a log barrier; the condensed KKT system over ``(dx, dy)`` is solved with
+  one ``jnp.linalg.solve`` per iteration; fraction-to-boundary plus a
+  vectorized backtracking line search on an l1 merit function globalize the
+  Newton step (IPOPT hides the same machinery behind ``ipopt.max_iter``)
+* **warm starts** — the MPC loop seeds ``x0`` from the previous horizon
+  (matching the reference's ``initialize()`` warm starts), so 10-30 iterations
+  typically suffice
+
+The solver is a pure function of its inputs — vmapping over vehicles, pairs
+and scenarios is the intended use.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SolverConfig
+
+
+class NLP(NamedTuple):
+    """Problem spec: min f(x, p)  s.t.  ce(x, p) = 0,  ci(x, p) >= 0.
+
+    ``p`` is an arbitrary parameter pytree (initial states, consensus
+    targets, halfspace data, ...) so one traced solver instance serves every
+    ADMM iteration / MPC step of a problem family — the reference instead
+    rebuilds a CasADi solver object per solve (SURVEY.md §3 hot loops).
+    """
+
+    f: Callable
+    ce: Callable
+    ci: Callable
+
+
+class NLPSolution(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray           # equality multipliers
+    z: jnp.ndarray           # inequality multipliers (>= 0)
+    s: jnp.ndarray           # slacks (>= 0)
+    kkt_error: jnp.ndarray   # max KKT residual at exit
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _fraction_to_boundary(v, dv, tau):
+    """max alpha in (0, 1] with v + alpha dv >= (1 - tau) v (v > 0)."""
+    ratio = jnp.where(dv < 0, -tau * v / jnp.where(dv < 0, dv, -1.0), 1.0)
+    return jnp.minimum(1.0, jnp.min(ratio, initial=1.0))
+
+
+def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
+              cfg: SolverConfig = SolverConfig(),
+              y0: Optional[jnp.ndarray] = None,
+              z0: Optional[jnp.ndarray] = None) -> NLPSolution:
+    """Solve one NLP instance (vmap for batches)."""
+    dtype = x0.dtype
+    n = x0.shape[0]
+    m_e = jax.eval_shape(nlp.ce, x0, p).shape[0]
+    m_i = jax.eval_shape(nlp.ci, x0, p).shape[0]
+    tau = 0.995
+    sigma_mu = 0.2
+    tol = cfg.ip_tol
+
+    f = lambda x: nlp.f(x, p)
+    ce = lambda x: nlp.ce(x, p)
+    ci = lambda x: nlp.ci(x, p)
+    grad_f = jax.grad(f)
+    jac_e = jax.jacfwd(ce)
+    jac_i = jax.jacfwd(ci)
+
+    def lag(x, y, z):
+        return f(x) - y @ ce(x) - z @ ci(x)
+
+    hess_l = jax.hessian(lag)
+
+    s_init = jnp.maximum(ci(x0), 1e-2)
+    z_init = jnp.full((m_i,), 1.0, dtype) if z0 is None else z0
+    y_init = jnp.zeros((m_e,), dtype) if y0 is None else y0
+    mu0 = jnp.maximum(jnp.asarray(cfg.ip_mu0, dtype),
+                      jnp.mean(s_init * z_init) if m_i else 0.0)
+
+    def merit(x, s, mu, nu):
+        barrier = -mu * jnp.sum(jnp.log(jnp.maximum(s, 1e-300)))
+        infeas = jnp.sum(jnp.abs(ce(x))) + jnp.sum(jnp.abs(ci(x) - s))
+        return f(x) + barrier + nu * infeas
+
+    def kkt_error(x, s, y, z):
+        r_d = grad_f(x) - jac_e(x).T @ y - jac_i(x).T @ z
+        err = jnp.max(jnp.abs(r_d), initial=0.0)
+        err = jnp.maximum(err, jnp.max(jnp.abs(ce(x)), initial=0.0))
+        err = jnp.maximum(err, jnp.max(jnp.abs(ci(x) - s), initial=0.0))
+        err = jnp.maximum(err, jnp.max(jnp.abs(s * z), initial=0.0))
+        return err
+
+    def body(carry, _):
+        x, s, y, z, mu, delta, done, iters = carry
+
+        g = grad_f(x)
+        je = jac_e(x)
+        ji = jac_i(x)
+        w = hess_l(x, y, z)
+        c_e = ce(x)
+        r_i = ci(x) - s
+
+        r_d = g - je.T @ y - ji.T @ z
+        r_c = s * z - mu
+
+        sigma = z / jnp.maximum(s, 1e-12)
+        h = (w + ji.T @ (sigma[:, None] * ji)
+             + delta * jnp.eye(n, dtype=dtype))
+        rhs_x = -(r_d + ji.T @ (r_c / jnp.maximum(s, 1e-12))
+                  + ji.T @ (sigma * r_i))
+
+        # KKT system over (dx, lam), lam = -dy
+        kkt = jnp.block([[h, je.T],
+                         [je, -1e-8 * jnp.eye(m_e, dtype=dtype)]])
+        sol = jnp.linalg.solve(kkt, jnp.concatenate([rhs_x, -c_e]))
+        dx = sol[:n]
+        dy = -sol[n:]
+        ds = ji @ dx + r_i
+        dz = -(r_c + z * ds) / jnp.maximum(s, 1e-12)
+
+        a_p_max = _fraction_to_boundary(s, ds, tau) if m_i else 1.0
+        a_d = _fraction_to_boundary(z, dz, tau) if m_i else 1.0
+
+        # vectorized backtracking on the l1 merit
+        nu = jnp.maximum(10.0, 2.0 * jnp.max(jnp.abs(jnp.concatenate(
+            [y, z])), initial=0.0)) if (m_e + m_i) else jnp.asarray(10.0, dtype)
+        phi0 = merit(x, s, mu, nu)
+        alphas = a_p_max * (0.5 ** jnp.arange(6, dtype=dtype))
+        phis = jax.vmap(lambda a: merit(x + a * dx, jnp.maximum(
+            s + a * ds, 1e-12), mu, nu))(alphas)
+        ok = phis < phi0 + 1e-10 * jnp.abs(phi0) + 1e-12
+        first_ok = jnp.argmax(ok)                  # first acceptable candidate
+        any_ok = jnp.any(ok)
+        a_p = jnp.where(any_ok, alphas[first_ok], alphas[-1] * 0.1)
+        # on failure, raise the Hessian regularization for the next iteration
+        delta_next = jnp.where(any_ok, jnp.maximum(delta * 0.2, 1e-9),
+                               jnp.minimum(jnp.maximum(delta, 1e-6) * 10.0,
+                                           1e6))
+
+        x_new = x + a_p * dx
+        s_new = jnp.maximum(s + a_p * ds, 1e-12)
+        y_new = y + a_d * dy
+        z_new = jnp.maximum(z + a_d * dz, 1e-12) if m_i else z
+
+        # adaptive barrier: mu <- sigma_mu * complementarity
+        mu_new = (jnp.maximum(sigma_mu * jnp.mean(s_new * z_new), tol / 10)
+                  if m_i else jnp.asarray(tol / 10, dtype))
+
+        err = kkt_error(x_new, s_new, y_new, z_new)
+        now_done = err < tol
+        keep = lambda a, b: jnp.where(done, b, a)
+        return (keep(x_new, x), keep(s_new, s), keep(y_new, y),
+                keep(z_new, z), keep(mu_new, mu), keep(delta_next, delta),
+                jnp.logical_or(done, now_done),
+                iters + jnp.logical_not(done).astype(jnp.int32)), None
+
+    init = (x0, s_init, y_init, z_init, jnp.asarray(mu0, dtype),
+            jnp.asarray(1e-8, dtype), jnp.asarray(False),
+            jnp.asarray(0, jnp.int32))
+    (x, s, y, z, _, _, done, iters), _ = jax.lax.scan(body, init, None,
+                                                      length=cfg.ip_iters)
+    return NLPSolution(x=x, y=y, z=z, s=s, kkt_error=kkt_error(x, s, y, z),
+                       iterations=iters, converged=done)
+
+
+def solve_nlp_batch(nlp: NLP, x0, p, cfg: SolverConfig = SolverConfig(),
+                    y0=None, z0=None) -> NLPSolution:
+    """Leading batch axis on ``x0`` and every leaf of ``p`` (and duals)."""
+    def one(x0_i, p_i, y0_i, z0_i):
+        return solve_nlp(nlp, x0_i, p_i, cfg, y0_i, z0_i)
+
+    if y0 is None and z0 is None:
+        return jax.vmap(lambda a, b: solve_nlp(nlp, a, b, cfg))(x0, p)
+    return jax.vmap(one)(x0, p, y0, z0)

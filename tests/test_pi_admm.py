@@ -1,0 +1,115 @@
+"""PI-ADMM engine end-to-end regression tests (SURVEY.md §4d).
+
+The reference's de-facto oracle is visual: trajectories swerve and vehicles
+never collide (SURVEY.md §4). These tests pin that behavior numerically on a
+shortened crossing scenario (vehicles start near the intersection so the
+collision machinery engages within a few MPC steps).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dlp_admm_tpu.config import (DualStrategy, DualUpdateConfig, PiAdmmConfig,
+                                 SolverConfig, WindupMode)
+from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
+
+SCFG = SolverConfig(qp_iters=120, qp_tol=1e-6)
+# start 1 s from the crossing: conflict begins almost immediately
+XT_NEAR = np.array([[-3.0, 0.0, 0.0], [0.0, 6.0, -np.pi / 2]])
+
+
+def make_engine(layout, dual_cfg=None, **kw):
+    cfg = PiAdmmConfig()
+    dual_cfg = dual_cfg or DualUpdateConfig()
+    return PiAdmmEngine(cfg, dual_cfg, SCFG, layout=layout, **kw)
+
+
+def min_distance(rec):
+    xs, ys = rec.xt[:, :, 0], rec.xt[:, :, 1]
+    return float(np.min(np.sqrt((xs[:, 0] - xs[:, 1]) ** 2
+                                + (ys[:, 0] - ys[:, 1]) ** 2)))
+
+
+class TestClassicEngine:
+    def test_converges_and_avoids_collision(self):
+        eng = make_engine("classic")
+        rec = eng.run(xt0=XT_NEAR, n_steps=10)
+        # every step converged within the cap and produced finite state
+        assert np.all(np.isfinite(rec.xt))
+        assert rec.iterations.max() <= eng.cfg.iter_num
+        # vehicles swerved (nonzero steering applied) and kept clearance
+        assert np.abs(rec.u_applied).max() > 0.05
+        assert min_distance(rec) > 1.0
+        # plant advanced ~ dt * speed per step
+        step_len = np.linalg.norm(np.diff(rec.xt[:, 0, :2], axis=0), axis=1)
+        np.testing.assert_allclose(step_len, 0.4, atol=0.15)
+
+    def test_no_conflict_tracks_reference(self):
+        """Far-apart vehicles: controls stay near zero, tracking the straight
+        reference lines."""
+        eng = make_engine("classic")
+        xt0 = np.array([[-10.0, 0.0, 0.0], [0.0, 20.0, -np.pi / 2]])
+        rec = eng.run(xt0=xt0, n_steps=3)
+        assert np.abs(rec.u_applied).max() < 0.02
+        assert rec.iterations.max() <= 5
+        # veh0 moves along +x at 4 m/s, veh1 along -y at 8 m/s
+        np.testing.assert_allclose(rec.xt[-1, 0, 0], -10 + 3 * 0.4, atol=0.05)
+        np.testing.assert_allclose(rec.xt[-1, 1, 1], 20 - 3 * 0.8, atol=0.05)
+
+    def test_plain_strategy_runs(self):
+        dual_cfg = DualUpdateConfig(strategy=DualStrategy.PLAIN,
+                                    windup=WindupMode.SAT,
+                                    adaptive_rho=False)
+        eng = make_engine("classic", dual_cfg=dual_cfg)
+        rec = eng.run(xt0=XT_NEAR, n_steps=6)
+        assert np.all(np.isfinite(rec.xt))
+        assert min_distance(rec) > 0.8
+
+    def test_sigmoid_strategy_runs(self):
+        dual_cfg = DualUpdateConfig(strategy=DualStrategy.PI_SIGMOID,
+                                    windup=WindupMode.SAT_BACKCALC,
+                                    windup_sat=30.0, ki=3.0,
+                                    adaptive_rho=False)
+        eng = make_engine("classic", dual_cfg=dual_cfg)
+        rec = eng.run(xt0=XT_NEAR, n_steps=6)
+        assert np.all(np.isfinite(rec.xt))
+        assert min_distance(rec) > 0.8
+
+
+class TestPairwiseEngine:
+    def test_gating_early_exit(self):
+        """No conflict anywhere: the coordination loop exits after one
+        iteration with zero duals (ref casadi/main.py:115-116)."""
+        eng = make_engine("pairwise")
+        xt0 = np.array([[-10.0, 0.0, 0.0], [0.0, 20.0, -np.pi / 2]])
+        rec = eng.run(xt0=xt0, n_steps=3)
+        assert np.all(rec.iterations == 1)
+        np.testing.assert_allclose(rec.dual_min, 0.0)
+        np.testing.assert_allclose(rec.dual_max, 0.0)
+
+    def test_converges_and_avoids_collision(self):
+        eng = make_engine("pairwise")
+        rec = eng.run(xt0=XT_NEAR, n_steps=10)
+        assert np.all(np.isfinite(rec.xt))
+        assert np.abs(rec.u_applied).max() > 0.05
+        assert min_distance(rec) > 1.0
+
+    def test_reference_al_semantics_flag(self):
+        """al_mask_active_pairs=False reproduces the reference's
+        unconditional AL-to-zero pull (casadi/PI_ADMM_class.py:125-129)."""
+        eng = make_engine("pairwise", al_mask_active_pairs=False)
+        xt0 = np.array([[-10.0, 0.0, 0.0], [0.0, 20.0, -np.pi / 2]])
+        rec = eng.run(xt0=xt0, n_steps=2)
+        # the AL term pulls positions toward the zero consensus cells, so
+        # controls are no longer ~zero even without conflict
+        assert np.all(np.isfinite(rec.xt))
+
+    def test_three_vehicles(self):
+        """Pairwise layout generalizes beyond the reference's 2 vehicles."""
+        cfg = PiAdmmConfig(num_veh=3, speeds=(4.0, 8.0, 4.0))
+        eng = PiAdmmEngine(cfg, DualUpdateConfig(), SCFG, layout="pairwise")
+        xt0 = np.array([[-3.0, 0.0, 0.0], [0.0, 6.0, -np.pi / 2],
+                        [3.0, 4.0, np.pi]])
+        rec = eng.run(xt0=xt0, n_steps=5)
+        assert np.all(np.isfinite(rec.xt))
+        assert rec.xt.shape == (5, 3, 3)
