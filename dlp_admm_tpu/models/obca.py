@@ -1,0 +1,578 @@
+"""OBCA planners: centralized joint NLP and consensus-ADMM decomposition.
+
+TPU-native re-implementation of the reference's ``Distributed_planner`` line
+(SURVEY.md C6/C7), the paper's full-dimensional OBCA dual formulation:
+
+* :class:`CentralizedObcaPlanner` ≙ ``centralized/optimizer.py`` +
+  ``centralized_overtaking{,_stochastic}.py``: one joint NLP over all
+  vehicles' states, controls and collision duals, solved receding-horizon.
+* :class:`ConsensusObcaPlanner` ≙ ``decentralized/optimizer.py`` +
+  ``decentralized_overtaking_ADMM.py`` (the flagship): per-vehicle NLPs over
+  (X_i, U_i, lambda_loc) with augmented-Lagrangian coupling to an edge/RSU
+  consensus NLP over Z = (states, lambda), plain dual ascent on lambda_bar.
+
+Both planners express every IPOPT call of the reference as a
+:class:`~dlp_admm_tpu.solvers.ip.NLP` spec solved by the batched
+interior-point solver — one traced solver per problem family, vmapped over
+vehicles (SURVEY.md §2.2). Constraints are fully vectorized over the horizon
+(no per-timestep Python constraint loops), which keeps the AD Hessians cheap.
+
+Collision constraint blocks (paper eq. (4)/(5)/(6); ref file:line cited per
+method):
+
+    (4a)  -b_i(x_i)^T l_i - b_j(x_j)^T l_j >= d_min
+    (4b)  A_i(x_i)^T l_i + A_j(x_j)^T l_j  = 0
+    (4c)  ||A_i(x_i)^T l_i||^2 <= 1,  l >= 0
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DualUpdateConfig, ObcaConfig, SolverConfig, VehicleConfig
+from ..coordination.dual_update import DualState, update_dual
+from ..ops.dynamics import bicycle_rhs
+from ..ops.geometry import halfspaces
+from ..solvers.ip import NLP, solve_nlp
+
+# %% shared pieces ------------------------------------------------------------
+
+
+def _dyn_residual(x_states, u_ctrls, init_state, cfg: VehicleConfig):
+    """Vectorized init + Euler dynamics equality residuals.
+
+    ``x_states [N, 5]``, ``u_ctrls [N-1, 2]``. Ref
+    ``decentralized/optimizer.py:84-100`` builds these with a per-step loop;
+    here one batched ``bicycle_rhs`` evaluation covers the horizon.
+    """
+    r0 = x_states[0] - init_state
+    f = bicycle_rhs(x_states[:-1], u_ctrls, cfg)
+    r_dyn = x_states[1:] - (x_states[:-1] + cfg.dt * f)
+    return jnp.concatenate([r0, r_dyn.reshape(-1)])
+
+
+def _box_residuals(x_states, u_ctrls, ocfg: ObcaConfig, vcfg: VehicleConfig):
+    """State/control box bounds as >= 0 residuals
+    (ref ``local_generate_variable`` ``optimizer.py:131-142``)."""
+    lo_x = jnp.array([0.0, -ocfg.max_y, -vcfg.max_v, -2 * jnp.pi,
+                      -vcfg.max_front_wheel_angle])
+    hi_x = jnp.array([ocfg.max_x, ocfg.max_y, vcfg.max_v, 2 * jnp.pi,
+                      vcfg.max_front_wheel_angle])
+    hi_u = jnp.array([vcfg.max_acc, vcfg.max_steer_rate])
+    return jnp.concatenate([
+        (x_states - lo_x).reshape(-1), (hi_x - x_states).reshape(-1),
+        (u_ctrls + hi_u).reshape(-1), (hi_u - u_ctrls).reshape(-1)])
+
+
+# %% centralized joint planner (C6) -------------------------------------------
+
+
+class CentralizedObcaPlanner:
+    """Joint OBCA NLP over all vehicles, receding horizon.
+
+    Ref ``centralized/optimizer.py:8-194``; horizon 15, R = 0.1 I, Q = I.
+    Generalizes the reference's 2-vehicle collision block to all unordered
+    pairs with per-(pair, side) duals; for ``num_veh == 2`` this is exactly
+    the reference problem.
+    """
+
+    def __init__(self, ocfg: ObcaConfig = ObcaConfig(horizon=15),
+                 vcfg: VehicleConfig = VehicleConfig(),
+                 scfg: SolverConfig = SolverConfig(),
+                 refs: Optional[np.ndarray] = None,
+                 r_ctrl: float = 0.1, q_state: float = 1.0,
+                 dtype=jnp.float64):
+        from .. import scenarios
+        from ..ops.pairs import pair_indices
+        self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
+        self.dtype = dtype
+        self.r_ctrl, self.q_state = r_ctrl, q_state
+        if refs is None:
+            refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
+        self.refs = jnp.asarray(refs, dtype)            # [V, T/dt+1, 5]
+        self.idx_i, self.idx_j = pair_indices(ocfg.num_veh)
+        v, n, p = ocfg.num_veh, ocfg.horizon, len(self.idx_i)
+        self._sizes = dict(
+            x=v * 5 * n, u=v * 2 * (n - 1), lam=p * 2 * 4 * (n - 1))
+        self._nlp = NLP(self._objective, self._ce, self._ci)
+        self._solve = jax.jit(self._solve_impl)
+
+    # x layout: [X (V,N,5) | U (V,N-1,2) | LAM (P,2,N-1,4)]
+    def _split(self, x):
+        v, n = self.ocfg.num_veh, self.ocfg.horizon
+        p = len(self.idx_i)
+        s = self._sizes
+        xs = x[:s["x"]].reshape(v, n, 5)
+        us = x[s["x"]:s["x"] + s["u"]].reshape(v, n - 1, 2)
+        lam = x[s["x"] + s["u"]:].reshape(p, 2, n - 1, 4)
+        return xs, us, lam
+
+    def _objective(self, x, p):
+        """Tracking + effort (ref ``generate_object`` ``optimizer.py:104-115``)."""
+        xs, us, _ = self._split(x)
+        err = xs[:, 1:, :] - p["ref_win"][:, 1:, :]
+        return (self.r_ctrl * jnp.sum(us ** 2)
+                + self.q_state * jnp.sum(err ** 2))
+
+    def _halfspaces_at(self, xs):
+        """[V, N-1, 4, 2], [V, N-1, 4] halfspaces of steps 1..N-1
+        (ref ``generate_constrain`` ``optimizer.py:168-181``)."""
+        return halfspaces(xs[:, 1:, :], self.vcfg,
+                          self.ocfg.use_delay_tightening)
+
+    def _ce(self, x, p):
+        xs, us, lam = self._split(x)
+        dyn = jax.vmap(lambda xi, ui, si: _dyn_residual(xi, ui, si, self.vcfg)
+                       )(xs, us, p["init_state"]).reshape(-1)
+        a_mat, _ = self._halfspaces_at(xs)
+        # (4b): A_i^T l_pi + A_j^T l_pj = 0 per pair per step
+        at_li = jnp.einsum('ptij,pti->ptj', a_mat[self.idx_i], lam[:, 0])
+        at_lj = jnp.einsum('ptij,pti->ptj', a_mat[self.idx_j], lam[:, 1])
+        return jnp.concatenate([dyn, (at_li + at_lj).reshape(-1)])
+
+    def _ci(self, x, p):
+        xs, us, lam = self._split(x)
+        a_mat, b = self._halfspaces_at(xs)
+        # (4a): -b_i^T l_i - b_j^T l_j - d_min >= 0
+        bl_i = jnp.einsum('pti,pti->pt', b[self.idx_i], lam[:, 0])
+        bl_j = jnp.einsum('pti,pti->pt', b[self.idx_j], lam[:, 1])
+        sep = -bl_i - bl_j - self.ocfg.min_dis
+        # (4c): 1 - ||A_i^T l_i||^2 >= 0 (one side per pair suffices given 4b,
+        # matching ref optimizer.py:192-194)
+        at_li = jnp.einsum('ptij,pti->ptj', a_mat[self.idx_i], lam[:, 0])
+        nrm = 1.0 - jnp.sum(at_li ** 2, axis=-1)
+        boxes = jax.vmap(lambda xi, ui: _box_residuals(xi, ui, self.ocfg,
+                                                       self.vcfg))(xs, us)
+        return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
+                                lam.reshape(-1), boxes.reshape(-1)])
+
+    def _warm_start(self, ref_win):
+        xs = ref_win.reshape(-1)
+        us = jnp.zeros(self._sizes["u"], self.dtype)
+        lam = jnp.full(self._sizes["lam"], 10.0, self.dtype)  # ref x0: 10
+        return jnp.concatenate([xs, us, lam])
+
+    def _solve_impl(self, init_state, step_idx):
+        n = self.ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
+        p = dict(init_state=init_state, ref_win=ref_win)
+        sol = solve_nlp(self._nlp, self._warm_start(ref_win), p, self.scfg)
+        xs, us, lam = self._split(sol.x)
+        return xs, us, lam, sol
+
+    def run(self, n_steps: Optional[int] = None):
+        """MPC loop (ref ``centralized_overtaking.py:21-56``): apply the
+        optimizer's own next state as the plant update."""
+        ocfg = self.ocfg
+        total = int(self.vcfg.T / self.vcfg.dt - ocfg.horizon)
+        n_steps = total if n_steps is None else n_steps
+        init_state = np.asarray(self.refs[:, 0, :])
+        states, controls, infos = [init_state], [], []
+        for t in range(n_steps):
+            xs, us, lam, sol = self._solve(jnp.asarray(init_state, self.dtype),
+                                           jnp.asarray(t, jnp.int32))
+            init_state = np.asarray(xs[:, 1, :])
+            states.append(init_state)
+            controls.append(np.asarray(us[:, 0, :]))
+            infos.append(dict(kkt=float(sol.kkt_error),
+                              iters=int(sol.iterations),
+                              converged=bool(sol.converged)))
+        return np.stack(states), np.stack(controls), infos
+
+
+# %% consensus-ADMM planner (C7, the flagship) --------------------------------
+
+
+class BarState(NamedTuple):
+    """The vehicle<->RSU exchange state (ref ``mid_state``
+    ``decentralized/optimizer.py:351-373``). All tensors have leading
+    vehicle axis; under a sharded mesh this is the all-gather payload."""
+
+    z_bar: jnp.ndarray      # [V, N-1, 9] edge consensus (states + lambda)
+    a_mat: jnp.ndarray      # [V, N-1, 4, 2] broadcast halfspace normals
+    b: jnp.ndarray          # [V, N-1, 4]
+    lamb_bar: jnp.ndarray   # [V, N-1, 9] ADMM duals
+    lamb_ij: jnp.ndarray    # [V, N-1, 4] collision duals used by neighbours
+    local_x: jnp.ndarray    # [V, N-1, 5] latest local states
+
+
+# warm-start table for lamb_ij (ref optimizer.py:357-371 hard-codes this for
+# the 2-vehicle overtaking scenario, N_horz = 8)
+_LAMB_IJ_TABLE = np.array(
+    [[[1.49, 0.566, 0.566, 1.49], [1.438, 0.514, 0.514, 1.438],
+      [1.387, 0.462, 0.462, 1.387], [1.336, 0.411, 0.411, 1.336],
+      [1.287, 0.361, 0.361, 1.287], [1.238, 0.312, 0.312, 1.238],
+      [1.191, 0.263, 0.263, 1.191]],
+     [[1.436] * 4, [1.325] * 4, [1.213] * 4, [1.1] * 4,
+      [0.986] * 4, [0.871] * 4, [0.755] * 4]])
+
+
+class ConsensusObcaPlanner:
+    """Consensus-ADMM OBCA planner (2 vehicles, reference semantics).
+
+    Ref ``decentralized/optimizer.py`` + ``decentralized_overtaking_ADMM.py``.
+    One ADMM iteration = vmapped local NLPs -> bar-state broadcast -> edge
+    consensus NLP -> dual ascent, all inside a single jitted
+    ``lax.while_loop`` step (caps/thresholds from the reference:
+    50 iterations, 0.01 residuals).
+
+    ``lamb_ij_mode``: ``'frozen'`` reproduces the reference exactly (the
+    neighbour-dual update at ``optimizer.py:220`` is commented out, so the
+    hard-coded warm-start table is used all run); ``'track_local'`` enables
+    that commented-out update (neighbour duals follow the local solutions) —
+    the saner default for scenarios beyond the tuned overtaking case.
+    """
+
+    N_STATES, N_LAM, N_FULL = 5, 4, 9
+
+    def __init__(self, ocfg: ObcaConfig = ObcaConfig(),
+                 vcfg: VehicleConfig = VehicleConfig(),
+                 scfg: SolverConfig = SolverConfig(),
+                 refs: Optional[np.ndarray] = None,
+                 lamb_ij_mode: str = "track_edge",
+                 dual_cfg: Optional["DualUpdateConfig"] = None,
+                 dtype=jnp.float64):
+        from .. import scenarios
+        from ..config import DualStrategy, DualUpdateConfig, WindupMode
+        if ocfg.num_veh != 2:
+            raise ValueError("consensus planner implements the 2-vehicle "
+                             "reference formulation")
+        assert lamb_ij_mode in ("frozen", "track_local", "track_edge")
+        self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
+        self.lamb_ij_mode = lamb_ij_mode
+        # dual update on lamb_bar: the reference uses plain ascent
+        # (lambda_update optimizer.py:330-335); we default to plain ascent
+        # PLUS saturation (the paper's anti-windup idea applied to the OBCA
+        # consensus duals) — unbounded lamb_bar growth otherwise feeds back
+        # through the edge objective and destabilizes late MPC steps
+        self.dual_cfg = dual_cfg if dual_cfg is not None else DualUpdateConfig(
+            strategy=DualStrategy.PLAIN, windup=WindupMode.SAT,
+            windup_sat=20.0, adaptive_rho=False)
+        self.dtype = dtype
+        if refs is None:
+            refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
+        self.refs = jnp.asarray(refs, dtype)
+        n = ocfg.horizon
+        # Elastic (l1 exact penalty) slack on the LOCAL separation rows (5a):
+        # with stale neighbour data the hard constraint can be transiently
+        # infeasible (penetration in the predicted horizon) — the reference
+        # leans on IPOPT silently returning least-infeasible points
+        # (optimizer.py:116-124); we relax explicitly with a weight that
+        # dominates the tracking objective (q_state = 1e5), so above the
+        # optimal multipliers the penalty is exact and reproduces the
+        # hard-constraint solution. The pairing equalities (5b) stay HARD:
+        # relaxing them breaks (5a)'s meaning (a pairing error eps turns into
+        # a value error eps * |position|). They are feasible because in
+        # track_edge mode lambda_ij carries ||A^T lambda|| <= 1 certificates
+        # (see _edge_ci adding (4c), which the reference's edge omits).
+        self.elastic_w = 1.0e7
+        self._loc_sizes = dict(x=5 * n, u=2 * (n - 1), lam=4 * (n - 1),
+                               e=n - 1)
+        self._local_nlp = NLP(self._local_obj, self._local_ce, self._local_ci)
+        self._edge_nlp = NLP(self._edge_obj, self._edge_ce, self._edge_ci)
+        self._mpc_step = jax.jit(self._mpc_step_impl)
+
+    # -- local problem (ref optimizer.py:40-201) -------------------------
+
+    def _loc_split(self, x):
+        n = self.ocfg.horizon
+        s = self._loc_sizes
+        o1 = s["x"]
+        o2 = o1 + s["u"]
+        o3 = o2 + s["lam"]
+        xs = x[:o1].reshape(n, 5)
+        us = x[o1:o2].reshape(n - 1, 2)
+        lam = x[o2:o3].reshape(n - 1, 4)
+        e = x[o3:]
+        return xs, us, lam, e
+
+    def _local_obj(self, x, p):
+        """Tracking + effort + AL (ref ``local_generate_object``
+        ``optimizer.py:150-168``): obj += lamb_bar^T S + rho/2 ||S - Z||^2
+        with S = (X_t, lambda_t)."""
+        xs, us, lam, e = self._loc_split(x)
+        err = xs[1:] - p["ref_win"][1:]
+        obj = (self.ocfg.r_ctrl * jnp.sum(us ** 2)
+               + self.ocfg.q_state * jnp.sum(err ** 2))
+        s_full = jnp.concatenate([xs[1:], lam], axis=-1)       # [N-1, 9]
+        obj += jnp.sum(p["lamb_bar"] * s_full)
+        obj += p["rho"] / 2 * jnp.sum((s_full - p["z_bar"]) ** 2)
+        obj += self.elastic_w * jnp.sum(e)
+        return obj
+
+    def _local_ce(self, x, p):
+        """Init + dynamics + (5b) pairing equalities
+        (ref ``local_generate_constrain`` ``optimizer.py:84-124``)."""
+        xs, us, lam, _ = self._loc_split(x)
+        dyn = _dyn_residual(xs, us, p["init_state"], self.vcfg)
+        a_self, _ = halfspaces(xs[1:], self.vcfg,
+                               self.ocfg.use_delay_tightening)
+        at_l = jnp.einsum('tij,ti->tj', a_self, lam)
+        other = jnp.einsum('tij,ti->tj', p["other_a"], p["other_lij"])
+        return jnp.concatenate([dyn, (at_l + other).reshape(-1)])
+
+    def _local_ci(self, x, p):
+        """(5a) separation (elastic), (4c) dual norm, lambda >= 0, e >= 0,
+        boxes."""
+        xs, us, lam, e = self._loc_split(x)
+        a_self, b_self = halfspaces(xs[1:], self.vcfg,
+                                    self.ocfg.use_delay_tightening)
+        sep = (-jnp.einsum('ti,ti->t', b_self, lam)
+               - jnp.einsum('ti,ti->t', p["other_b"], p["other_lij"])
+               - self.ocfg.min_dis + e)
+        at_l = jnp.einsum('tij,ti->tj', a_self, lam)
+        nrm = 1.0 - jnp.sum(at_l ** 2, axis=-1)
+        boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
+        return jnp.concatenate([sep, nrm, lam.reshape(-1), e, boxes])
+
+    # -- edge problem (ref optimizer.py:239-328) -------------------------
+
+    def _edge_split(self, x):
+        n = self.ocfg.horizon
+        return x.reshape(2, n - 1, self.N_FULL)
+
+    def _edge_obj(self, x, p):
+        """obj = -sum_i Z_i lamb_bar_i + rho/2 sum_i ||local_fullx_i - Z_i||^2
+        (ref ``edge_generate_object`` ``optimizer.py:297-307``).
+
+        NO elastic slack here: the edge owns its states, so (6c) is always
+        satisfiable by moving z apart — and an elastic slack would create a
+        spurious degenerate KKT attractor (lambda = 0, e = min_dis) that the
+        barrier walks into from any warm start."""
+        z = self._edge_split(x)
+        obj = -jnp.sum(z * p["lamb_bar"])
+        obj += p["rho"] / 2 * jnp.sum((p["local_fullx"] - z) ** 2)
+        return obj
+
+    def _edge_halfspaces(self, z):
+        return halfspaces(z[:, :, :5], self.vcfg,
+                          self.ocfg.use_delay_tightening)
+
+    def _edge_ce(self, x, p):
+        """(6b): A(z_1)^T l_1 + A(z_2)^T l_2 = 0
+        (ref ``edge_generate_constrain`` ``optimizer.py:259-279``)."""
+        z = self._edge_split(x)
+        a_mat, _ = self._edge_halfspaces(z)
+        at_l = jnp.einsum('vtij,vti->vtj', a_mat, z[:, :, 5:])
+        return (at_l[0] + at_l[1]).reshape(-1)
+
+    def _edge_ci(self, x, p):
+        """(6c) separation >= min_dis (hard); (4c) dual-norm bound;
+        z-state box; lambda >= 0.
+
+        The reference's edge omits the (4c) norm bound (``optimizer.py:
+        259-283``), letting z-lambda scale arbitrarily; we add it (at 0.95,
+        not 1.0) so the exchanged certificates are strictly-interior usable
+        in the locals' hard (5b) + (4c) constraints (track_edge mode)."""
+        z = self._edge_split(x)
+        a_mat, b = self._edge_halfspaces(z)
+        bl = jnp.einsum('vti,vti->vt', b, z[:, :, 5:])
+        sep = -bl[0] - bl[1] - self.ocfg.min_dis
+        at_l = jnp.einsum('vtij,vti->vtj', a_mat, z[:, :, 5:])
+        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)  # [2, N-1]
+        zs = z[:, :, :5]
+        box = jnp.concatenate([(zs + 1000.0).reshape(-1),
+                               (1000.0 - zs).reshape(-1)])
+        return jnp.concatenate([sep, nrm.reshape(-1),
+                                z[:, :, 5:].reshape(-1), box])
+
+    # -- bar-state plumbing ----------------------------------------------
+
+    def create_bar_state(self) -> BarState:
+        """Initial exchange state.
+
+        The reference zero-initializes A/b (``mid_state`` ``optimizer.py:
+        353-355``), which makes the very first local NLP *infeasible*
+        (-b^T lambda >= d_min with A^T lambda = 0 has no solution when
+        b = 0); IPOPT silently returns a least-infeasible point and the loop
+        recovers. We instead seed A/b/local_x from the reference-trajectory
+        window — the state every vehicle already knows — so iteration 1 is
+        well-posed (documented deviation; converged behavior is unchanged).
+        """
+        n = self.ocfg.horizon
+        d = self.dtype
+        ref0 = self.refs[:, 1:n, :]                      # [2, N-1, 5]
+        a0, b0 = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
+        if self.lamb_ij_mode == "track_edge":
+            # proper facing-face certificates from the initial geometry: unit
+            # weight on each vehicle's face whose outward normal aligns with
+            # the centre-to-centre direction — an exact separating dual pair
+            # for the aligned reference states. (The reference instead ships
+            # a hard-coded table, optimizer.py:357-371, whose degenerate
+            # second column makes the first local solves infeasible.)
+            c_dir = ref0[1, :, :2] - ref0[0, :, :2]
+            c_dir = c_dir / jnp.linalg.norm(c_dir, axis=-1, keepdims=True)
+            align0 = jnp.einsum('tij,tj->ti', a0[0], c_dir)     # [N-1, 4]
+            align1 = jnp.einsum('tij,tj->ti', a0[1], -c_dir)
+            # scaled to norm 0.95: certificates at the (4c) boundary
+            # ||A^T lam|| = 1 would leave the local problem with an empty
+            # strict interior (5b forces the norm exactly), which an
+            # interior-point method cannot handle
+            lamb_ij = 0.95 * jnp.stack([
+                jax.nn.one_hot(jnp.argmax(align0, -1), 4, dtype=d),
+                jax.nn.one_hot(jnp.argmax(align1, -1), 4, dtype=d)])
+        elif n == 8:
+            lamb_ij = jnp.asarray(_LAMB_IJ_TABLE, d)
+        else:
+            lamb_ij = 1e-3 * jnp.ones((2, n - 1, 4), d)
+        return BarState(
+            z_bar=jnp.concatenate([ref0, lamb_ij], axis=-1),
+            a_mat=a0,
+            b=b0,
+            lamb_bar=1e-3 * jnp.ones((2, n - 1, 9), d),
+            lamb_ij=lamb_ij,
+            local_x=ref0)
+
+    def shift_bar_state(self, bs: BarState) -> BarState:
+        """Horizon warm-start shift (ref ``iterate_next_state``
+        ``optimizer.py:337-344``): drop step 0, duplicate the tail."""
+        shift = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        return BarState(*(shift(f) for f in bs))
+
+    def check_converge(self, bs: BarState, thres: float = 0.1):
+        """Coupled-constraint satisfaction on the exchanged solution
+        (ref ``check_converge`` ``optimizer.py:225-235``)."""
+        at_l = jnp.einsum('vtij,vti->vtj', bs.a_mat, bs.lamb_ij)
+        eq = at_l[0] + at_l[1]
+        bl = jnp.einsum('vti,vti->vt', bs.b, bs.lamb_ij)
+        sep = -bl[0] - bl[1]
+        return jnp.logical_and(jnp.all(jnp.abs(eq) <= thres),
+                               jnp.all(sep >= self.ocfg.min_dis))
+
+    # -- one MPC step -----------------------------------------------------
+
+    def _local_warm(self, ref_win, p):
+        """Reference warm start (states = ref window, u = 0, lambda = 1 as in
+        ``local_initialize`` ``optimizer.py:50-55``) plus elastic slacks set
+        to the actual separation violation so the start point is feasible —
+        a feasible interior start is what keeps the fixed-budget IP fast."""
+        n = self.ocfg.horizon
+        s = self._loc_sizes
+        base = jnp.concatenate([
+            ref_win.reshape(2, -1),
+            jnp.zeros((2, s["u"]), self.dtype),
+            jnp.ones((2, s["lam"]), self.dtype),
+            jnp.zeros((2, s["e"]), self.dtype)], axis=1)
+
+        def fix_e(x0, p_i):
+            sep = self._local_ci(x0, p_i)[:n - 1]
+            e = jnp.maximum(-sep, 0.0) + 0.01
+            return x0.at[-s["e"]:].set(e)
+
+        return jax.vmap(fix_e)(base, p)
+
+    def _mpc_step_impl(self, init_state, bar_state_prev: BarState, step_idx):
+        ocfg = self.ocfg
+        n = ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(
+            self.refs, step_idx, n, axis=1)               # [2, N, 5]
+        rho = jnp.asarray(ocfg.rho, self.dtype)
+
+        def local_solve(bs: BarState):
+            p = dict(init_state=init_state,
+                     ref_win=ref_win,
+                     other_a=bs.a_mat[::-1],
+                     other_b=bs.b[::-1],
+                     other_lij=bs.lamb_ij[::-1],
+                     z_bar=bs.z_bar,
+                     lamb_bar=bs.lamb_bar,
+                     rho=jnp.broadcast_to(rho, (2,)))
+            sol = jax.vmap(lambda x0, pp: solve_nlp(self._local_nlp, x0, pp,
+                                                    self.scfg))(
+                self._local_warm(ref_win, p), p)
+            xs, us, lam, _ = jax.vmap(self._loc_split)(sol.x)
+            return xs, us, lam, sol
+
+        def body(c):
+            bs = c["bs"]
+            xs, us, lam, _ = local_solve(bs)
+            # bar_state_update (ref optimizer.py:205-222): broadcast
+            # recomputed halfspaces + local states; lamb_ij per mode
+            a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
+                                      ocfg.use_delay_tightening)
+            lamb_ij = lam if self.lamb_ij_mode == "track_local" else bs.lamb_ij
+            bs = bs._replace(a_mat=a_new, b=b_new, local_x=xs[:, 1:, :],
+                             lamb_ij=lamb_ij)
+
+            # edge solve (ref optimizer.py:309-328). The reference inits the
+            # edge NLP at zeros (edge_initialize :250) and relies on IPOPT's
+            # robustness; we warm-start at the AL target local_fullx, which
+            # is the unconstrained z-minimizer up to lamb_bar/rho — same
+            # optimum, far better conditioned for the fixed-budget solver.
+            local_fullx = jnp.concatenate([bs.local_x, bs.lamb_ij], axis=-1)
+            pe = dict(lamb_bar=bs.lamb_bar, local_fullx=local_fullx, rho=rho)
+            # warm-start z at the previous consensus iterate (smooth path)
+            esol = solve_nlp(self._edge_nlp, bs.z_bar.reshape(-1), pe,
+                             self.scfg)
+            z_bar = self._edge_split(esol.x)
+            bs = bs._replace(z_bar=z_bar)
+            if self.lamb_ij_mode == "track_edge":
+                # neighbours plan against the CONSENSUS certificates: the
+                # edge's z-lambda is forced non-degenerate by (6c) (value >=
+                # d_min requires a genuine separating dual pair), whereas
+                # local lambdas can collapse into the degenerate cone
+                # (A^T lam = 0 rays give state-independent values and hence
+                # zero avoidance force). Default mode; 'frozen'/'track_local'
+                # reproduce the reference's exchanges.
+                bs = bs._replace(lamb_ij=z_bar[:, :, 5:])
+
+            # dual update on lamb_bar (ref lambda_update optimizer.py:330-335
+            # is plain ascent, rho = 1; strategy/windup configurable — see
+            # constructor): consensus error r = local_fullx - z_bar
+            d_min = jnp.min(jnp.linalg.norm(
+                bs.local_x[0, :, :2] - bs.local_x[1, :, :2], axis=-1))
+            dual_new = update_dual(
+                DualState(dual=bs.lamb_bar, sum_err=c["sum_err"],
+                          diff_val=c["diff_val"], rho=rho),
+                local_fullx - z_bar, d_min, self.dual_cfg)
+            bs = bs._replace(lamb_bar=dual_new.dual)
+
+            # residuals (ref driver decentralized_overtaking_ADMM.py:82-90):
+            # l1-ish norms of the control / lamb_bar deltas
+            primal = jnp.sum(jnp.abs(us - c["us_prev"]))
+            dual = jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]))
+            done = jnp.logical_and(primal <= ocfg.primal_thres,
+                                   dual <= ocfg.dual_thres)
+            return dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
+                        sum_err=dual_new.sum_err, diff_val=dual_new.diff_val,
+                        it=c["it"] + 1, done=done, primal=primal, dual=dual)
+
+        def cond(c):
+            return jnp.logical_and(jnp.logical_not(c["done"]),
+                                   c["it"] < ocfg.max_admm_iters)
+
+        zeros9 = jnp.zeros((2, n - 1, 9), self.dtype)
+        c0 = dict(bs=bar_state_prev,
+                  us_prev=jnp.zeros((2, n - 1, 2), self.dtype),
+                  lamb_prev=bar_state_prev.lamb_bar,
+                  xs=jnp.broadcast_to(ref_win, (2, n, 5)),
+                  sum_err=zeros9, diff_val=zeros9,
+                  it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+                  primal=jnp.asarray(jnp.inf, self.dtype),
+                  dual=jnp.asarray(jnp.inf, self.dtype))
+        out = jax.lax.while_loop(cond, body, c0)
+
+        # MPC advance: next state from the local solution (driver :99-102)
+        next_state = out["xs"][:, 1, :]
+        converged_flag = self.check_converge(out["bs"])
+        return (next_state, self.shift_bar_state(out["bs"]), out["it"],
+                out["primal"], out["dual"], converged_flag)
+
+    def run(self, n_steps: Optional[int] = None):
+        ocfg, vcfg = self.ocfg, self.vcfg
+        total = int(vcfg.T / vcfg.dt - ocfg.horizon)
+        n_steps = total if n_steps is None else n_steps
+        init_state = jnp.asarray(self.refs[:, 0, :], self.dtype)
+        bs = self.create_bar_state()
+        states, iters, residuals, flags = [np.asarray(init_state)], [], [], []
+        for t in range(n_steps):
+            init_state, bs, it, pr, du, cv = self._mpc_step(
+                init_state, bs, jnp.asarray(t, jnp.int32))
+            states.append(np.asarray(init_state))
+            iters.append(int(it))
+            residuals.append((float(pr), float(du)))
+            flags.append(bool(cv))
+        return np.stack(states), np.array(iters), residuals, flags

@@ -77,9 +77,24 @@ def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
     sigma_mu = 0.2
     tol = cfg.ip_tol
 
-    f = lambda x: nlp.f(x, p)
-    ce = lambda x: nlp.ce(x, p)
-    ci = lambda x: nlp.ci(x, p)
+    # IPOPT-style gradient-based scaling (nlp_scaling_method=gradient-based):
+    # planner objectives mix 1e5-1e7 tracking/penalty weights with O(1)
+    # constraints; without this the Newton system is hopelessly imbalanced.
+    # Scales are frozen at x0; multipliers are unscaled on exit.
+    g_max = 100.0
+    raw_g = jax.grad(lambda x: nlp.f(x, p))(x0)
+    c_f = jnp.minimum(1.0, g_max / jnp.maximum(
+        jnp.max(jnp.abs(raw_g), initial=0.0), 1e-8))
+    raw_je = jax.jacfwd(lambda x: nlp.ce(x, p))(x0)
+    raw_ji = jax.jacfwd(lambda x: nlp.ci(x, p))(x0)
+    s_e = jnp.minimum(1.0, g_max / jnp.maximum(
+        jnp.max(jnp.abs(raw_je), axis=-1), 1e-8)) if m_e else jnp.zeros((0,), dtype)
+    s_i = jnp.minimum(1.0, g_max / jnp.maximum(
+        jnp.max(jnp.abs(raw_ji), axis=-1), 1e-8)) if m_i else jnp.zeros((0,), dtype)
+
+    f = lambda x: c_f * nlp.f(x, p)
+    ce = lambda x: s_e * nlp.ce(x, p)
+    ci = lambda x: s_i * nlp.ci(x, p)
     grad_f = jax.grad(f)
     jac_e = jax.jacfwd(ce)
     jac_i = jax.jacfwd(ci)
@@ -131,6 +146,12 @@ def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
         kkt = jnp.block([[h, je.T],
                          [je, -1e-8 * jnp.eye(m_e, dtype=dtype)]])
         sol = jnp.linalg.solve(kkt, jnp.concatenate([rhs_x, -c_e]))
+        # NaN guard: a singular/ill-conditioned KKT (e.g. on an infeasible
+        # subproblem — the reference's first ADMM iteration produces these,
+        # see models/obca.py) must not poison the iterate; take a zero step
+        # and let the delta bump below re-regularize.
+        bad = jnp.logical_not(jnp.all(jnp.isfinite(sol)))
+        sol = jnp.where(bad, jnp.zeros_like(sol), sol)
         dx = sol[:n]
         dy = -sol[n:]
         ds = ji @ dx + r_i
@@ -146,10 +167,14 @@ def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
         alphas = a_p_max * (0.5 ** jnp.arange(6, dtype=dtype))
         phis = jax.vmap(lambda a: merit(x + a * dx, jnp.maximum(
             s + a * ds, 1e-12), mu, nu))(alphas)
-        ok = phis < phi0 + 1e-10 * jnp.abs(phi0) + 1e-12
+        ok = jnp.logical_and(phis < phi0 + 1e-10 * jnp.abs(phi0) + 1e-12,
+                             jnp.isfinite(phis))
         first_ok = jnp.argmax(ok)                  # first acceptable candidate
         any_ok = jnp.any(ok)
+        any_ok = jnp.logical_and(any_ok, jnp.logical_not(bad))
         a_p = jnp.where(any_ok, alphas[first_ok], alphas[-1] * 0.1)
+        a_p = jnp.where(bad, 0.0, a_p)
+        a_d = jnp.where(bad, 0.0, a_d)
         # on failure, raise the Hessian regularization for the next iteration
         delta_next = jnp.where(any_ok, jnp.maximum(delta * 0.2, 1e-9),
                                jnp.minimum(jnp.maximum(delta, 1e-6) * 10.0,
@@ -177,7 +202,12 @@ def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
             jnp.asarray(0, jnp.int32))
     (x, s, y, z, _, _, done, iters), _ = jax.lax.scan(body, init, None,
                                                       length=cfg.ip_iters)
-    return NLPSolution(x=x, y=y, z=z, s=s, kkt_error=kkt_error(x, s, y, z),
+    # unscale multipliers/slacks back to the original problem
+    y_out = s_e * y / c_f if m_e else y
+    z_out = s_i * z / c_f if m_i else z
+    s_out = s / jnp.maximum(s_i, 1e-12) if m_i else s
+    return NLPSolution(x=x, y=y_out, z=z_out, s=s_out,
+                       kkt_error=kkt_error(x, s, y, z),
                        iterations=iters, converged=done)
 
 

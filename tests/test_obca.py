@@ -1,0 +1,105 @@
+"""OBCA planner end-to-end tests (SURVEY.md §4d).
+
+Short MPC runs on the overtaking scenario; oracles are the reference's
+implicit ones: tracking when separated, swerve-and-separate when close,
+finite states throughout.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from dlp_admm_tpu.config import ObcaConfig, SolverConfig
+from dlp_admm_tpu.models.obca import (CentralizedObcaPlanner,
+                                      ConsensusObcaPlanner)
+
+SCFG = SolverConfig(ip_iters=40, ip_tol=1e-6)
+
+
+class TestCentralized:
+    def test_tracks_when_separated(self):
+        pl = CentralizedObcaPlanner(ObcaConfig(horizon=15, min_dis=1.0),
+                                    scfg=SCFG)
+        states, ctrls, infos = pl.run(n_steps=3)
+        assert all(i["converged"] for i in infos)
+        # vehicles track their 20 / 10 m/s references exactly at the start
+        np.testing.assert_allclose(states[:, 0, 0],
+                                   2.0 * np.arange(4), atol=0.02)
+        np.testing.assert_allclose(states[:, 1, 0],
+                                   20 + 1.0 * np.arange(4), atol=0.02)
+        np.testing.assert_allclose(states[:, :, 1], 0.0, atol=0.02)
+
+    def test_duals_nonnegative_and_norm_bounded(self):
+        pl = CentralizedObcaPlanner(ObcaConfig(horizon=15, min_dis=1.0),
+                                    scfg=SCFG)
+        xs, us, lam, sol = pl._solve(
+            jnp.asarray(pl.refs[:, 0, :]), jnp.asarray(0, jnp.int32))
+        assert bool(sol.converged)
+        assert float(lam.min()) >= -1e-8
+        from dlp_admm_tpu.ops.geometry import halfspaces
+        a_mat, _ = halfspaces(xs[:, 1:, :], pl.vcfg, False)
+        at_l = np.einsum('tij,ti->tj', np.asarray(a_mat[0]),
+                         np.asarray(lam[0, 0]))
+        assert np.all(np.linalg.norm(at_l, axis=-1) <= 1.0 + 1e-6)
+
+    def test_delay_tightening_variant_runs(self):
+        """Stochastic variant (ref centralized_overtaking_stochastic.py)."""
+        pl = CentralizedObcaPlanner(
+            ObcaConfig(horizon=15, min_dis=1.0, use_delay_tightening=True),
+            scfg=SCFG)
+        states, _, infos = pl.run(n_steps=2)
+        assert np.all(np.isfinite(states))
+
+
+class TestConsensus:
+    def test_short_run_tracks_and_stays_finite(self):
+        pl = ConsensusObcaPlanner(
+            ObcaConfig(horizon=8, min_dis=0.1, max_admm_iters=5, rho=100.0),
+            scfg=SCFG)
+        states, iters, res, flags = pl.run(n_steps=4)
+        assert np.all(np.isfinite(states))
+        # start is conflict-free: near-reference tracking
+        np.testing.assert_allclose(states[:, 0, 0], 2.0 * np.arange(5),
+                                   atol=0.5)
+        np.testing.assert_allclose(states[:, :, 1], 0.0, atol=0.6)
+
+    def test_bar_state_shift(self):
+        pl = ConsensusObcaPlanner(ObcaConfig(horizon=8), scfg=SCFG)
+        bs = pl.create_bar_state()
+        bs = bs._replace(local_x=jnp.arange(2 * 7 * 5, dtype=jnp.float64
+                                            ).reshape(2, 7, 5))
+        shifted = pl.shift_bar_state(bs)
+        np.testing.assert_allclose(np.asarray(shifted.local_x[:, :-1]),
+                                   np.asarray(bs.local_x[:, 1:]))
+        np.testing.assert_allclose(np.asarray(shifted.local_x[:, -1]),
+                                   np.asarray(bs.local_x[:, -1]))
+
+    def test_check_converge_semantics(self):
+        """check_converge (ref optimizer.py:225-235): true iff the coupled
+        pairing equalities hold and the separation values clear min_dis."""
+        pl = ConsensusObcaPlanner(ObcaConfig(horizon=8, min_dis=0.1),
+                                  scfg=SCFG)
+        bs = pl.create_bar_state()
+        # construct an exact certificate: vehicles far apart along x,
+        # lambda on the facing faces with weight w
+        from dlp_admm_tpu.ops.geometry import halfspaces
+        x0 = np.stack([np.stack([np.arange(1, 8) * 1.0, np.zeros(7),
+                                 np.zeros(7), np.zeros(7), np.zeros(7)],
+                                axis=-1),
+                       np.stack([20 + np.arange(1, 8) * 1.0, np.zeros(7),
+                                 np.zeros(7), np.zeros(7), np.zeros(7)],
+                                axis=-1)])
+        a_mat, b = halfspaces(jnp.asarray(x0), pl.vcfg, False)
+        lamb = np.zeros((2, 7, 4))
+        # veh0: weight on its +x face; veh1: weight on its -x face
+        for v, direction in [(0, np.array([1.0, 0])),
+                             (1, np.array([-1.0, 0]))]:
+            rows = np.argmax(np.einsum('tij,j->ti', np.asarray(a_mat[v]),
+                                       direction), axis=-1)
+            for t, r in enumerate(rows):
+                lamb[v, t, r] = 1.0
+        bs = bs._replace(a_mat=a_mat, b=b, lamb_ij=jnp.asarray(lamb))
+        assert bool(pl.check_converge(bs))
+        # shrink the gap below min_dis: fails
+        x0[1, :, 0] -= 19.0 + 2.6
+        a2, b2 = halfspaces(jnp.asarray(x0), pl.vcfg, False)
+        bs2 = bs._replace(a_mat=a2, b=b2)
+        assert not bool(pl.check_converge(bs2))
