@@ -1,0 +1,82 @@
+"""Benchmark: PI-ADMM consensus iterations/s on the 16-vehicle H=30 workload.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Workload (BASELINE.md): a batch of 16-vehicle, horizon-30 overtaking
+scenarios run through the pairwise PI-ADMM engine (local QPs per vehicle,
+per-pair edge QPs with collision gating, PI dual update with anti-windup).
+The metric counts *effective* consensus iterations — sum over scenarios and
+MPC steps of the ADMM iterations actually executed (the inner while_loop
+exits early on convergence; masked lanes are not counted) — divided by the
+wall time of the iteration work (compile excluded via warmup).
+
+Baseline target: >= 500 iterations/s on TPU v5p-16 (BASELINE.json). Runs on
+whatever accelerator jax exposes (single chip here).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dlp_admm_tpu.config import (DualUpdateConfig, PiAdmmConfig,
+                                     SolverConfig)
+    from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
+    from dlp_admm_tpu.scenarios import pi_admm_overtake_refs
+
+    print(f"bench devices: {jax.devices()}", file=sys.stderr)
+
+    num_veh = 16
+    horizon = 30
+    n_scen = 32
+    n_steps = 4
+
+    speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
+    cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
+                       dis_thres=2.0, iter_num=15, eps_pri=1.0, eps_dual=1.0,
+                       stop_needs_clearance=False)
+    refs, xt0 = pi_admm_overtake_refs(cfg)
+    eng = PiAdmmEngine(cfg, DualUpdateConfig(),
+                       SolverConfig(qp_iters=60, qp_tol=1e-4),
+                       layout="pairwise", refs=refs, n_sqp=1,
+                       dtype=jnp.float32)
+
+    step = jax.jit(jax.vmap(eng._mpc_step_impl, in_axes=(0, 0, None)))
+    rng = np.random.default_rng(0)
+    xts = jnp.asarray(
+        xt0[None] + np.concatenate([
+            0.5 * rng.normal(size=(n_scen,) + xt0[:, :2].shape),
+            np.zeros((n_scen, num_veh, 1))], axis=-1), jnp.float32)
+    us = jnp.zeros((n_scen, num_veh, horizon), jnp.float32)
+
+    # warmup / compile
+    xt_w, u_w, rec_w = step(xts, us, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(xt_w)
+
+    total_iters = 0
+    t0 = time.time()
+    xt, u = xts, us
+    for k in range(n_steps):
+        u = jnp.concatenate([u[:, :, 1:], u[:, :, -1:]], axis=2)
+        xt, u, rec = step(xt, u, jnp.asarray(k, jnp.int32))
+        total_iters += int(np.sum(np.asarray(rec.iterations)))
+    jax.block_until_ready(xt)
+    elapsed = time.time() - t0
+
+    value = total_iters / elapsed
+    print(json.dumps({
+        "metric": "pi_admm_consensus_iterations_per_s",
+        "value": round(value, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(value / 500.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,267 @@
+"""Bilevel (MISC) and constraint-tightening OBCA planners (SURVEY.md C8/C9).
+
+* :class:`BilevelObcaPlanner` ≙ ``Distributed_planner/decentralized_MISC/
+  optimizer.py``: local NLPs have NO dual decision variables — collision
+  duals are fixed data from the edge; the edge solves only the lower-level
+  collision-dual problem
+  ``min b_0^T l_0 + b_1^T l_1  s.t.  A_0^T l_0 + A_1^T l_1 = 0,
+  -sum b^T l >= d_min, ||A_i^T l_i|| <= 1, 0 <= l <= 5``
+  (ref ``optimizer.py:223-257``, sign-reversed max as noted at ``:251-257``).
+* :class:`TighteningObcaPlanner` ≙ ``decentralized_tighting/optimizer_ori.py``:
+  ONE local pass + ONE edge pass per MPC step (no inner loop); locals use the
+  *previous* step's (A, b, lambda) with collision rows skipped at t = 0
+  (``optimizer_ori.py:98-99``); ``bar_state_update`` shifts predictions by 2
+  steps and duplicates the tail (``:187-206``).
+
+Both reuse the TPU-native pattern of :mod:`.obca`: vectorized constraints,
+elastic l1 exact penalties on the stale-data collision rows, batched
+interior-point solves (per-timestep dual QCQPs vmapped over the horizon).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ObcaConfig, SolverConfig, VehicleConfig
+from ..ops.geometry import halfspaces
+from ..solvers.ip import NLP, solve_nlp
+from .obca import _box_residuals, _dyn_residual
+
+# %% shared: the lower-level collision-dual problem ---------------------------
+
+
+def _dual_nlp(min_dis: float, lam_hi: float = 5.0) -> NLP:
+    """Per-timestep collision-dual QCQP over x = [l_0 (4), l_1 (4)].
+
+    Parameters p: ``a0/a1 [4,2]``, ``b0/b1 [4]``. Ref MISC
+    ``edge_generate_constrain/_object`` ``optimizer.py:223-257``.
+    """
+
+    def f(x, p):
+        return p["b0"] @ x[:4] + p["b1"] @ x[4:]
+
+    def ce(x, p):
+        return p["a0"].T @ x[:4] + p["a1"].T @ x[4:]
+
+    def ci(x, p):
+        sep = -p["b0"] @ x[:4] - p["b1"] @ x[4:] - min_dis
+        n0 = 0.95 ** 2 - jnp.sum((p["a0"].T @ x[:4]) ** 2)
+        n1 = 0.95 ** 2 - jnp.sum((p["a1"].T @ x[4:]) ** 2)
+        return jnp.concatenate([jnp.array([sep, n0, n1]), x, lam_hi - x])
+
+    return NLP(f, ce, ci)
+
+
+def solve_collision_duals(a_mat, b, min_dis: float, scfg: SolverConfig,
+                          lam_warm=None):
+    """Batched edge dual solve: ``a_mat [2, T, 4, 2]``, ``b [2, T, 4]`` ->
+    ``lam [2, T, 4]``. One vmapped IP solve replaces the reference's
+    per-step IPOPT instantiations."""
+    nlp = _dual_nlp(min_dis)
+    t = b.shape[1]
+    p = dict(a0=a_mat[0], a1=a_mat[1], b0=b[0], b1=b[1])
+    if lam_warm is None:
+        x0 = jnp.full((t, 8), 0.5, b.dtype)
+    else:
+        x0 = jnp.concatenate([lam_warm[0], lam_warm[1]], axis=-1)
+    sol = jax.vmap(lambda xx, pp: solve_nlp(nlp, xx, pp, scfg))(x0, p)
+    lam = jnp.stack([sol.x[:, :4], sol.x[:, 4:]])
+    if lam_warm is not None:
+        # when predicted trajectories interpenetrate the dual problem is
+        # infeasible (no separating certificate exists) — keep the previous
+        # step's certificates so the local separation rows retain a
+        # restoring force (the reference gets the analogous effect from
+        # IPOPT's least-infeasibility return)
+        ok = sol.converged[None, :, None]
+        lam = jnp.where(ok, lam, lam_warm)
+    return lam, sol
+
+
+# %% shared: fixed-dual local NLP --------------------------------------------
+
+
+class _FixedDualLocal:
+    """Local tracking NLP with collision rows using FIXED duals as data.
+
+    x = [X (5N) | U (2(N-1)) | e (N-1)]; (5a)/(5b) of ref
+    ``decentralized_MISC/optimizer.py`` / ``optimizer_ori.py:101-123`` with
+    the dual variables replaced by bar-state data; both rows elastic
+    (l1 exact penalty — stale duals make them transiently infeasible, which
+    the reference leaves to IPOPT's restoration)."""
+
+    def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig, dtype):
+        self.ocfg, self.vcfg, self.dtype = ocfg, vcfg, dtype
+        n = ocfg.horizon
+        self.sizes = dict(x=5 * n, u=2 * (n - 1), e=n - 1)
+        self.elastic_w = 1.0e7
+        self.nlp = NLP(self._obj, self._ce, self._ci)
+
+    def split(self, x):
+        n = self.ocfg.horizon
+        s = self.sizes
+        return (x[:s["x"]].reshape(n, 5),
+                x[s["x"]:s["x"] + s["u"]].reshape(n - 1, 2),
+                x[s["x"] + s["u"]:])
+
+    def _obj(self, x, p):
+        xs, us, e = self.split(x)
+        err = xs[1:] - p["ref_win"][1:]
+        return (self.ocfg.r_ctrl * jnp.sum(us ** 2)
+                + self.ocfg.q_state * jnp.sum(err ** 2)
+                + self.elastic_w * jnp.sum(e))
+
+    def _ce(self, x, p):
+        xs, us, _ = self.split(x)
+        return _dyn_residual(xs, us, p["init_state"], self.vcfg)
+
+    def _ci(self, x, p):
+        xs, us, e = self.split(x)
+        a_self, b_self = halfspaces(xs[1:], self.vcfg,
+                                    self.ocfg.use_delay_tightening)
+        # (5a) with fixed duals; gated by p["active"] (the tightening variant
+        # skips collision rows at t_step == 0, optimizer_ori.py:98-99)
+        sep = (-jnp.einsum('ti,ti->t', b_self, p["lam_self"])
+               - jnp.einsum('ti,ti->t', p["other_b"], p["lam_other"])
+               - self.ocfg.min_dis)
+        sep = jnp.where(p["active"], sep, 1.0) + e
+        boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
+        return jnp.concatenate([sep, e, boxes])
+
+    def warm(self, ref_win, p):
+        base = jnp.concatenate([ref_win.reshape(-1),
+                                jnp.zeros(self.sizes["u"], self.dtype),
+                                jnp.zeros(self.sizes["e"], self.dtype)])
+        sep = self._ci(base, p)[:self.sizes["e"]]
+        return base.at[-self.sizes["e"]:].set(jnp.maximum(-sep, 0.0) + 0.01)
+
+
+class FixedDualState(NamedTuple):
+    """Exchange state: halfspaces + duals (ref MISC ``mid_state``)."""
+
+    a_mat: jnp.ndarray   # [2, T, 4, 2]
+    b: jnp.ndarray       # [2, T, 4]
+    lam: jnp.ndarray     # [2, T, 4]
+
+
+class _FixedDualPlannerBase:
+    """Common driver machinery for the bilevel and tightening planners."""
+
+    def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig,
+                 scfg: SolverConfig, refs: Optional[np.ndarray],
+                 dtype=jnp.float64):
+        from .. import scenarios
+        if ocfg.num_veh != 2:
+            raise ValueError("2-vehicle reference formulation")
+        self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
+        self.dtype = dtype
+        if refs is None:
+            refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
+        self.refs = jnp.asarray(refs, dtype)
+        self.local = _FixedDualLocal(ocfg, vcfg, dtype)
+        self._mpc_step = jax.jit(self._mpc_step_impl)
+
+    def create_state(self) -> FixedDualState:
+        n = self.ocfg.horizon
+        ref0 = self.refs[:, 1:n, :]
+        a0, b0 = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
+        lam, _ = solve_collision_duals(a0, b0, self.ocfg.min_dis, self.scfg)
+        return FixedDualState(a_mat=a0, b=b0, lam=lam)
+
+    def _local_solve(self, bs: FixedDualState, init_state, ref_win, active):
+        p = dict(init_state=init_state, ref_win=ref_win,
+                 lam_self=bs.lam, other_b=bs.b[::-1],
+                 lam_other=bs.lam[::-1],
+                 active=jnp.broadcast_to(active, (2,)))
+        x0 = jax.vmap(self.local.warm)(ref_win, p)
+        sol = jax.vmap(lambda xx, pp: solve_nlp(self.local.nlp, xx, pp,
+                                                self.scfg))(x0, p)
+        xs, us, e = jax.vmap(self.local.split)(sol.x)
+        return xs, us, e, sol
+
+    def run(self, n_steps: Optional[int] = None):
+        ocfg, vcfg = self.ocfg, self.vcfg
+        total = int(vcfg.T / vcfg.dt - ocfg.horizon)
+        n_steps = total if n_steps is None else n_steps
+        init_state = jnp.asarray(self.refs[:, 0, :], self.dtype)
+        bs = self.create_state()
+        states = [np.asarray(init_state)]
+        infos = []
+        for t in range(n_steps):
+            init_state, bs, info = self._mpc_step(
+                init_state, bs, jnp.asarray(t, jnp.int32))
+            states.append(np.asarray(init_state))
+            infos.append(jax.device_get(info))
+        return np.stack(states), infos
+
+
+class BilevelObcaPlanner(_FixedDualPlannerBase):
+    """MISC bilevel alternation (ref ``decentralized_MISC/optimizer.py``):
+    per MPC step, a small fixed number of (local NLPs -> halfspace update ->
+    edge dual solve) rounds — the reference caps this loop at a handful of
+    iterations with no convergence test."""
+
+    def __init__(self, ocfg: ObcaConfig = ObcaConfig(horizon=8, min_dis=1.0),
+                 vcfg: VehicleConfig = VehicleConfig(),
+                 scfg: SolverConfig = SolverConfig(),
+                 refs: Optional[np.ndarray] = None, n_rounds: int = 3,
+                 dtype=jnp.float64):
+        self.n_rounds = n_rounds
+        super().__init__(ocfg, vcfg, scfg, refs, dtype)
+
+    def _mpc_step_impl(self, init_state, bs: FixedDualState, step_idx):
+        n = self.ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
+
+        def round_(bs, _):
+            xs, us, e, sol = self._local_solve(
+                bs, init_state, ref_win, jnp.asarray(True))
+            a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
+                                      self.ocfg.use_delay_tightening)
+            lam, dsol = solve_collision_duals(
+                a_new, b_new, self.ocfg.min_dis, self.scfg, bs.lam)
+            bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam)
+            return bs, (xs, jnp.max(e), dsol.kkt_error.max())
+
+        bs, (xs_hist, e_hist, dual_kkt) = jax.lax.scan(
+            round_, bs, None, length=self.n_rounds)
+        xs = jax.tree.map(lambda a: a[-1], xs_hist)
+        next_state = xs[:, 1, :]
+        info = dict(elastic=e_hist[-1], dual_kkt=dual_kkt[-1])
+        return next_state, bs, info
+
+
+class TighteningObcaPlanner(_FixedDualPlannerBase):
+    """Sequential constraint-tightening planner (ref ``decentralized_tighting/
+    optimizer_ori.py``): one local pass with the previous step's (A, b, lam)
+    and one edge dual re-solve per MPC step; predictions shifted by two steps
+    with duplicated tail in ``bar_state_update`` (``:187-206``); collision
+    rows inactive at t = 0. Default config uses T = 7 s and prob = 0.99
+    (ref ``decentralized_tighting/veh_config.py:18``)."""
+
+    def __init__(self, ocfg: ObcaConfig = ObcaConfig(horizon=8, min_dis=1.0),
+                 vcfg: VehicleConfig = VehicleConfig(T=7.0, prob=0.99),
+                 scfg: SolverConfig = SolverConfig(),
+                 refs: Optional[np.ndarray] = None, dtype=jnp.float64):
+        super().__init__(ocfg, vcfg, scfg, refs, dtype)
+
+    def _mpc_step_impl(self, init_state, bs: FixedDualState, step_idx):
+        n = self.ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
+        active = step_idx > 0
+        xs, us, e, sol = self._local_solve(bs, init_state, ref_win, active)
+
+        # bar_state_update with the 2-step shift + duplicated tail
+        # (optimizer_ori.py:187-206): entries 0..T-3 from prediction steps
+        # 2..T-1, last entry duplicated
+        shift_idx = jnp.clip(jnp.arange(2, n + 1), None, n - 1)
+        xs_shift = xs[:, shift_idx, :]
+        a_new, b_new = halfspaces(xs_shift, self.vcfg,
+                                  self.ocfg.use_delay_tightening)
+        lam, dsol = solve_collision_duals(a_new, b_new, self.ocfg.min_dis,
+                                          self.scfg, bs.lam)
+        bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam)
+        info = dict(elastic=jnp.max(e), dual_kkt=dsol.kkt_error.max())
+        return xs[:, 1, :], bs, info

@@ -85,6 +85,27 @@ def pi_admm_crossing_refs(cfg: PiAdmmConfig) -> np.ndarray:
     return np.stack(refs)
 
 
+def pi_admm_overtake_refs(cfg: PiAdmmConfig):
+    """Overtaking references for the unicycle PI-ADMM line (benchmark
+    workload: BASELINE.md, 16-vehicle H=30 overtaking batch).
+
+    Vehicles are paired into lanes (y = 6 m per pair): the even vehicle is
+    fast and starts behind, the odd one slow and ahead — the fast one must
+    dodge laterally around its lane partner. Returns ``(refs [V, 2, N],
+    initial_states [V, 3])``; speeds are taken from ``cfg.speeds``.
+    """
+    n = int(cfg.total_time / cfg.dt)
+    refs, states = [], []
+    for i in range(cfg.num_veh):
+        lane = 6.0 * (i // 2)
+        v = cfg.speeds[i]
+        x0 = -10.0 if i % 2 == 0 else 0.0
+        x = x0 + v * cfg.dt * np.arange(n)
+        refs.append(np.stack([x, np.full(n, lane)]))
+        states.append([x0, lane, 0.0])
+    return np.stack(refs), np.array(states)
+
+
 def pi_admm_initial_states(cfg: PiAdmmConfig) -> np.ndarray:
     """Initial (x, y, theta) per vehicle (ref ``casadi_old_PI_ADMM/main.py:23``)."""
     states = []

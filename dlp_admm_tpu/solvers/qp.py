@@ -126,12 +126,17 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
 
     def segment(carry, _):
         x, z, y, rho, done, iters = carry
-        chol = cho_factor(ps + sigma * eye_n + rho * ata)
+        # explicit inverse instead of a Cholesky factorization: triangular
+        # solves are sequential over n rows (latency-bound on TPU), whereas
+        # applying a precomputed inverse is one MXU matmul per iteration.
+        # The condensed matrix is SPD and Ruiz-equilibrated, so the inverse
+        # is numerically safe at these sizes.
+        kkt_inv = jnp.linalg.inv(ps + sigma * eye_n + rho * ata)
 
         def step(carry, _):
             x, z, y, done, iters = carry
             rhs = sigma * x - qs + as_.T @ (rho * z - y)
-            x_t = cho_solve(chol, rhs)
+            x_t = kkt_inv @ rhs
             z_t = as_ @ x_t
             x_new = alpha * x_t + (1 - alpha) * x
             z_relax = alpha * z_t + (1 - alpha) * z

@@ -1,0 +1,86 @@
+"""ALADIN engine tests against closed-form / centralized oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlp_admm_tpu.config import SolverConfig
+from dlp_admm_tpu.models.aladin import AladinEngine, AladinProblem
+from dlp_admm_tpu.solvers.ip import NLP, solve_nlp
+
+SCFG = SolverConfig(ip_iters=40, ip_tol=1e-9)
+
+
+def no_h(y, p):
+    return jnp.zeros((0,), y.dtype)
+
+
+class TestConsensusQuadratic:
+    def test_two_agent_average(self):
+        """min (y1-a)^2 + (y2-b)^2 s.t. y1 - y2 = 0 -> both = (a+b)/2
+        (the toy consensus of ref example1.py)."""
+        a_mats = jnp.asarray(np.array([[[1.0]], [[-1.0]]]))
+        prob = AladinProblem(
+            f=lambda y, p: jnp.sum((y - p) ** 2),
+            h=no_h, a_mats=a_mats, b=jnp.zeros(1))
+        eng = AladinEngine(prob, rho=1.0, mu=1e4, scfg=SCFG)
+        targets = jnp.asarray(np.array([[3.0], [7.0]]))
+        state, ys = eng.run(jnp.zeros((2, 1)), targets, n_iters=20)
+        np.testing.assert_allclose(np.asarray(ys), 5.0, atol=1e-5)
+        assert float(state.coupling_res) < 1e-5
+        # multiplier: grad at optimum: 2(5-3) = -lam * 1 -> lam = -4
+        np.testing.assert_allclose(float(state.lam[0]), -4.0, atol=1e-4)
+
+    def test_three_agent_weighted(self):
+        """Three agents sharing one scalar via pairwise coupling rows."""
+        # couplings: y1 - y2 = 0, y2 - y3 = 0
+        a_mats = jnp.asarray(np.array([[[1.0], [0.0]],
+                                       [[-1.0], [1.0]],
+                                       [[0.0], [-1.0]]]))
+        w = jnp.asarray(np.array([[1.0], [2.0], [3.0]]))
+        t = jnp.asarray(np.array([[0.0], [3.0], [6.0]]))
+
+        prob = AladinProblem(
+            f=lambda y, p: p[0][0] * jnp.sum((y - p[1]) ** 2),
+            h=no_h, a_mats=a_mats, b=jnp.zeros(2))
+        eng = AladinEngine(prob, rho=1.0, scfg=SCFG)
+        state, ys = eng.run(jnp.zeros((3, 1)), (w, t), n_iters=30)
+        # weighted mean: (1*0 + 2*3 + 3*6) / 6 = 4
+        np.testing.assert_allclose(np.asarray(ys), 4.0, atol=1e-4)
+
+
+class TestNonconvexLocalConstraints:
+    def test_agents_on_circles(self):
+        """Two agents constrained to circles of radius 1 around their
+        anchors, coupled to agree; oracle from the centralized IP solve.
+        (Structure of ref example2.py's sensor-network localization.)"""
+        anchors = np.array([[0.0, 0.0], [1.0, 0.0]])
+
+        def f(y, p):
+            return jnp.sum((y - p) ** 2)
+
+        def h(y, p):
+            return jnp.array([jnp.sum((y - p) ** 2) - 1.0])
+
+        a_mats = jnp.asarray(np.array(
+            [[[1.0, 0], [0, 1.0]], [[-1.0, 0], [0, -1.0]]]))
+        prob = AladinProblem(f=f, h=h, a_mats=a_mats, b=jnp.zeros(2))
+        eng = AladinEngine(prob, rho=5.0, mu=1e4, scfg=SCFG)
+        p = jnp.asarray(anchors)
+        x0 = jnp.asarray(np.array([[0.4, 0.4], [0.45, 0.35]]))
+        state, ys = eng.run(x0, p, n_iters=40)
+        assert float(state.coupling_res) < 1e-4
+        # both agents on their circles
+        for i in range(2):
+            np.testing.assert_allclose(
+                float(jnp.sum((ys[i] - p[i]) ** 2)), 1.0, atol=1e-4)
+        # centralized oracle: single NLP over shared point y
+        nlp = NLP(
+            f=lambda x, q: (jnp.sum((x - q[0]) ** 2)
+                            + jnp.sum((x - q[1]) ** 2)),
+            ce=lambda x, q: jnp.array([
+                jnp.sum((x - q[0]) ** 2) - 1.0,
+                jnp.sum((x - q[1]) ** 2) - 1.0]),
+            ci=lambda x, q: jnp.zeros((0,), x.dtype))
+        oracle = solve_nlp(nlp, jnp.array([0.5, 0.5]), p, SCFG)
+        np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(oracle.x),
+                                   atol=1e-3)
