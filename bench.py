@@ -42,8 +42,8 @@ def main():
                        stop_needs_clearance=False)
     refs, xt0 = pi_admm_overtake_refs(cfg)
     eng = PiAdmmEngine(cfg, DualUpdateConfig(),
-                       SolverConfig(qp_iters=60, qp_tol=1e-4),
-                       layout="pairwise", refs=refs, n_sqp=1,
+                       SolverConfig(qp_iters=40, qp_tol=1e-4),
+                       layout="pairwise", refs=refs, n_sqp=1, pair_budget=24,
                        dtype=jnp.float32)
 
     step = jax.jit(jax.vmap(eng._mpc_step_impl, in_axes=(0, 0, None)))

@@ -156,9 +156,15 @@ def _hinge_rows(be_i, be_j, pose0_i, pose0_j, last_dis, horizon):
     return const, g_i, g_j
 
 
+def edge_qp_m(cfg: PiAdmmConfig) -> int:
+    """Constraint-row count of the per-pair edge QP (for dual warm starts)."""
+    h = cfg.horizon
+    return 2 * h + 2 * (h - 1) + h + h
+
+
 def _solve_pair_edge_qp(xt_pair, spd_pair, pos_old_pair, dual_pair, last_dis,
                         u0, cfg: PiAdmmConfig, scfg: SolverConfig,
-                        n_sqp: int = 2):
+                        n_sqp: int = 2, y0=None):
     """Edge subproblem for ONE vehicle pair via sequential convexification.
 
     Decision: ``w = [u_i (H), u_j (H), t (H)]``; objective
@@ -193,8 +199,11 @@ def _solve_pair_edge_qp(xt_pair, spd_pair, pos_old_pair, dual_pair, last_dis,
                             jnp.full(2 * (h - 1), cfg.du_max, dtype),
                             jnp.full(h, big, dtype)])
 
+    if y0 is None:
+        y0 = jnp.zeros(edge_qp_m(cfg), dtype)
+
     def sqp_iter(carry, _):
-        u_lin, _ = carry
+        u_lin, y_warm, _ = carry
         pose0_i, be_i = _edge_affine(xt_pair[0], spd_pair[0], u_lin[0],
                                      cfg.dt, cfg.wheel_base)
         pose0_j, be_j = _edge_affine(xt_pair[1], spd_pair[1], u_lin[1],
@@ -225,18 +234,18 @@ def _solve_pair_edge_qp(xt_pair, spd_pair, pos_old_pair, dual_pair, last_dis,
         lo = jnp.concatenate([lo_c, lo_h])
         hi = jnp.concatenate([hi_c, hi_h])
         w0 = jnp.concatenate([u_lin.reshape(-1), jnp.zeros(h, dtype)])
-        sol = solve_qp(p_mat, q, a_mat, lo, hi, scfg, x0=w0)
+        sol = solve_qp(p_mat, q, a_mat, lo, hi, scfg, x0=w0, y0=y_warm)
         u_new = sol.x[: 2 * h].reshape(2, h)
-        return (u_new, sol.converged), None
+        return (u_new, sol.y, sol.converged), None
 
-    init = (u0, jnp.asarray(False))
-    (u_opt, conv), _ = jax.lax.scan(sqp_iter, init, None, length=n_sqp)
+    init = (u0, y0, jnp.asarray(False))
+    (u_opt, y_out, conv), _ = jax.lax.scan(sqp_iter, init, None, length=n_sqp)
     # consensus trajectories from the true nonlinear edge rollout
     # (ref casadi/main.py:156-158)
     ex, ey, _ = unicycle_rollout_edge(xt_pair, u_opt, spd_pair,
                                       cfg.dt, cfg.wheel_base)
     hat_pair = jnp.stack([ex, ey], axis=1)      # [2 sides, 2 xy, H+1]
-    return u_opt, hat_pair, conv
+    return u_opt, hat_pair, conv, y_out
 
 
 # %% engine -------------------------------------------------------------------
@@ -266,6 +275,7 @@ class PiAdmmEngine:
                  refs: Optional[np.ndarray] = None,
                  n_sqp: int = 2,
                  al_mask_active_pairs: bool = True,
+                 pair_budget: int = 10 ** 9,
                  dtype=jnp.float64):
         from .. import scenarios
         self.cfg = cfg
@@ -278,6 +288,9 @@ class PiAdmmEngine:
         self.layout = layout
         self.n_sqp = n_sqp
         self.al_mask_active_pairs = al_mask_active_pairs
+        # max pairs solved per iteration (closest-first); pairs beyond the
+        # budget are treated as inactive that iteration
+        self.pair_budget = pair_budget
         self.dtype = dtype
         if refs is None:
             refs = scenarios.pi_admm_crossing_refs(cfg)
@@ -342,6 +355,7 @@ class PiAdmmEngine:
 
         carry0 = dict(u=u_warm, pos=zero_cell, hat=zero_cell, hat_u=jnp.zeros(
             (v, h), self.dtype), last_hat=zero_cell, dual=dual0,
+            ey=jnp.zeros(edge_qp_m(cfg), self.dtype),
             it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
             r=jnp.asarray(0.0, self.dtype), s=jnp.asarray(0.0, self.dtype))
 
@@ -362,11 +376,12 @@ class PiAdmmEngine:
             dual_flat = jnp.concatenate([c["dual"].dual[:, 0, :],
                                          c["dual"].dual[:, 1, :]], axis=-1)
             last_dis = seed[idx_j[0]] - seed[idx_i[0]]
-            hat_u, hat_pair, _ = _solve_pair_edge_qp(
+            hat_u, hat_pair, _, ey = _solve_pair_edge_qp(
                 xt_pair, spd_pair,
                 jnp.stack([pos_flat[idx_i[0]], pos_flat[idx_j[0]]]),
                 jnp.stack([dual_flat[idx_i[0]], dual_flat[idx_j[0]]]),
-                last_dis, c["hat_u"], cfg, self.solver_cfg, self.n_sqp)
+                last_dis, c["hat_u"], cfg, self.solver_cfg, self.n_sqp,
+                y0=c["ey"])
             hat = zero_cell.at[idx_i[0]].set(hat_pair[0]) \
                            .at[idx_j[0]].set(hat_pair[1])
 
@@ -382,7 +397,7 @@ class PiAdmmEngine:
             if cfg.stop_needs_clearance:
                 ok = jnp.logical_and(ok, clearance > cfg.dis_thres)
             return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, last_hat=hat,
-                        dual=dual, it=c["it"] + 1, done=ok, r=r, s=s)
+                        dual=dual, ey=ey, it=c["it"] + 1, done=ok, r=r, s=s)
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c["done"]),
@@ -423,8 +438,10 @@ class PiAdmmEngine:
                                    axis=-1)             # [P, 2, 2(H+1)]
             return flat[side_of[..., 0], side_of[..., 1]]
 
+        k_budget = min(self.pair_budget, p)
         carry0 = dict(u=u_warm, pos=jnp.zeros((v, 2, h1), self.dtype),
                       hat=cell0, hat_u=jnp.zeros((p, 2, h), self.dtype),
+                      ey=jnp.zeros((p, edge_qp_m(cfg)), self.dtype),
                       last_hat=cell0, dual=dual0,
                       ever=jnp.zeros(p, bool), it=jnp.asarray(0, jnp.int32),
                       done=jnp.asarray(False),
@@ -464,14 +481,28 @@ class PiAdmmEngine:
             pos_pairs_flat = jnp.stack([pos_flat[idx_i], pos_flat[idx_j]],
                                        axis=1)                # [P,2,2(H+1)]
 
-            def one_pair(xt_p, spd_p, pos_p, dual_p, ld_p, u0):
+            def one_pair(xt_p, spd_p, pos_p, dual_p, ld_p, u0, y0):
                 return _solve_pair_edge_qp(xt_p, spd_p, pos_p, dual_p, ld_p,
                                            u0, cfg, self.solver_cfg,
-                                           self.n_sqp)
+                                           self.n_sqp, y0=y0)
 
-            hat_u_new, hat_new, _ = jax.vmap(one_pair)(
-                xt_pairs, spd_pairs, pos_pairs_flat, dual_flat, last_dis,
-                c["hat_u"])
+            # active-pair budget: at 16 vehicles only a handful of the 120
+            # pair slots are ever in conflict — gather the k_budget closest
+            # pairs (static shape), solve only those, scatter back. This is
+            # the TPU-native form of `np.where(edge_mat == 1)` gating
+            # (SURVEY.md §7 hard part 5).
+            d2min = jnp.min(d2, axis=-1)
+            if k_budget < p:
+                _, sel = jax.lax.top_k(-d2min, k_budget)
+            else:
+                sel = jnp.arange(p)
+            hat_u_k, hat_k, _, ey_k = jax.vmap(one_pair)(
+                xt_pairs[sel], spd_pairs[sel], pos_pairs_flat[sel],
+                dual_flat[sel], last_dis[sel], c["hat_u"][sel], c["ey"][sel])
+            hat_u_new = c["hat_u"].at[sel].set(hat_u_k)
+            hat_new = c["hat"].at[sel].set(hat_k)
+            ey = c["ey"].at[sel].set(ey_k)
+
             m = active[:, None, None, None]
             hat = jnp.where(m, hat_new, c["hat"])
             hat_u = jnp.where(active[:, None, None], hat_u_new, c["hat_u"])
@@ -496,9 +527,9 @@ class PiAdmmEngine:
                                           jnp.logical_not(c["ever"].any()))
             converged = jnp.logical_and(r <= cfg.eps_pri, s <= cfg.eps_dual)
             done = jnp.logical_or(none_active, converged)
-            return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, last_hat=hat,
-                        dual=dual, ever=ever, it=c["it"] + 1, done=done,
-                        r=r, s=s)
+            return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, ey=ey,
+                        last_hat=hat, dual=dual, ever=ever, it=c["it"] + 1,
+                        done=done, r=r, s=s)
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c["done"]),

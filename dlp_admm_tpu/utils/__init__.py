@@ -1,0 +1,4 @@
+"""Auxiliary subsystems: metrics/logging, checkpointing, plotting."""
+from .checkpoint import load_carry, save_carry  # noqa: F401
+from .metrics import RunMetrics, trace  # noqa: F401
+from .plotting import plot_iteration_history, plot_trajectories  # noqa: F401

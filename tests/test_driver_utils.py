@@ -1,0 +1,98 @@
+"""Unified driver, metrics, checkpoint, plotting, sharding tests."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlp_admm_tpu.config import (DualUpdateConfig, Formulation, ObcaConfig,
+                                 PiAdmmConfig, SolverConfig)
+from dlp_admm_tpu.mpc import run_obca, run_pi_admm
+from dlp_admm_tpu.utils import (RunMetrics, load_carry, plot_trajectories,
+                                save_carry)
+
+SCFG_QP = SolverConfig(qp_iters=120, qp_tol=1e-6)
+SCFG_IP = SolverConfig(ip_iters=30, ip_tol=1e-6)
+
+
+class TestUnifiedDriver:
+    def test_run_pi_admm(self):
+        res = run_pi_admm(scfg=SCFG_QP, layout="pairwise", n_steps=3)
+        assert res.states.shape == (3, 2, 3)
+        assert res.metrics.total_iterations >= 3
+        assert "iterations_per_s" in res.metrics.summary()
+
+    def test_run_obca_centralized_with_plot(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "traj.png")
+            res = run_obca(Formulation.CENTRALIZED, scfg=SCFG_IP, n_steps=2,
+                           plot_path=path)
+            assert res.states.shape[0] == 3
+            assert os.path.exists(path)
+
+    def test_run_obca_tightening(self):
+        res = run_obca(Formulation.TIGHTENING, scfg=SCFG_IP, n_steps=2)
+        assert np.all(np.isfinite(res.states))
+
+
+class TestMetrics:
+    def test_summary(self):
+        m = RunMetrics()
+        with m.step_timer():
+            pass
+        m.log_step(0, 5, rho=1.0)
+        m.log_step(1, 7, rho=2.0)
+        s = m.summary()
+        assert s["total_iterations"] == 12
+        assert s["steps"] == 2
+        assert m.extras["rho"] == [1.0, 2.0]
+
+
+class TestCheckpoint:
+    def test_roundtrip_pytree(self):
+        carry = {"a": jnp.arange(6.0).reshape(2, 3),
+                 "b": (jnp.asarray(3), jnp.ones(4, jnp.float32))}
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "ckpt.npz")
+            save_carry(path, carry, step=7)
+            like = jax.tree.map(jnp.zeros_like, carry)
+            restored, step = load_carry(path, like)
+            assert step == 7
+            np.testing.assert_allclose(np.asarray(restored["a"]),
+                                       np.asarray(carry["a"]))
+            assert restored["b"][1].dtype == jnp.float32
+
+
+class TestShardingEquivalence:
+    def test_sharded_matches_single_device(self):
+        """SURVEY.md §4e: the sharded batched step must reproduce the
+        single-device result (deterministic collectives)."""
+        from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
+        from dlp_admm_tpu.parallel import (planner_mesh, shard_scenarios,
+                                           sharded_batch_step)
+        from dlp_admm_tpu.scenarios import pi_admm_initial_states
+
+        cfg = PiAdmmConfig(iter_num=5)
+        eng = PiAdmmEngine(cfg, DualUpdateConfig(), SCFG_QP,
+                           layout="pairwise", dtype=jnp.float64)
+        xt0 = np.asarray(pi_admm_initial_states(cfg))
+        xt0[:, :2] *= 0.25
+        rng = np.random.default_rng(0)
+        xts = jnp.asarray(xt0[None] + 0.05 * rng.normal(size=(8,) + xt0.shape))
+        us = jnp.zeros((8, 2, cfg.horizon), jnp.float64)
+
+        # single device
+        single = jax.vmap(eng._mpc_step_impl, in_axes=(0, 0, None))(
+            xts, us, jnp.asarray(0, jnp.int32))
+
+        # 8-device mesh (4 scenario x 2 vehicle)
+        mesh = planner_mesh(n_scenario=4, n_vehicle=2)
+        xts_s, us_s = shard_scenarios(mesh, (xts, us))
+        step = sharded_batch_step(eng, mesh)
+        sharded = step(xts_s, us_s, jnp.asarray(0, jnp.int32))
+
+        np.testing.assert_allclose(np.asarray(sharded[0]),
+                                   np.asarray(single[0]), atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(sharded[2].iterations),
+                                      np.asarray(single[2].iterations))
