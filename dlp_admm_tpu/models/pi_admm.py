@@ -309,17 +309,24 @@ class PiAdmmEngine:
         win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, h1, axis=2)
         return jnp.concatenate([win[:, 0, :], win[:, 1, :]], axis=-1)
 
-    def _local_solve(self, xt, u_warm, ref_flat, hats, duals, al_w, rho):
-        """vmapped local QPs; hats/duals [V, K, 2(H+1)], al_w [V, K]."""
+    def _local_affines(self, xt):
+        """Per-vehicle (pos0, B) of the affine local rollout. Depends only on
+        xt, so it is computed ONCE per MPC step and closed over by the ADMM
+        loop body (the jacfwd would otherwise rerun every iteration)."""
+        return jax.vmap(lambda xt_i, spd_i: _local_affine(
+            xt_i, spd_i, self.cfg.horizon, self.cfg.dt,
+            self.cfg.wheel_base))(xt, self.spd)
 
-        def one(xt_i, spd_i, warm_i, ref_i, hat_i, dual_i, w_i):
-            pos0, b_mat = _local_affine(xt_i, spd_i, self.cfg.horizon,
-                                        self.cfg.dt, self.cfg.wheel_base)
+    def _local_solve(self, affines, u_warm, ref_flat, hats, duals, al_w, rho):
+        """vmapped local QPs; hats/duals [V, K, 2(H+1)], al_w [V, K]."""
+        pos0_all, b_all = affines
+
+        def one(pos0, b_mat, warm_i, ref_i, hat_i, dual_i, w_i):
             return _solve_local_qp(pos0, b_mat, ref_i, hat_i, dual_i, w_i,
                                    rho, warm_i, self.statics, self.cfg,
                                    self.solver_cfg)
 
-        u, pos_flat = jax.vmap(one)(xt, self.spd, u_warm, ref_flat, hats,
+        u, pos_flat = jax.vmap(one)(pos0_all, b_all, u_warm, ref_flat, hats,
                                     duals, al_w)
         h1 = self.cfg.horizon + 1
         pos = jnp.stack([pos_flat[:, :h1], pos_flat[:, h1:]], axis=1)
@@ -349,6 +356,7 @@ class PiAdmmEngine:
                          axis=1)                       # [V, 2]
         zero_cell = jnp.zeros((v, 2, h1), self.dtype)
         dual0 = init_dual_state((v, 2, h1), cfg.rho, self.dtype)
+        affines = self._local_affines(xt)
 
         def flat_cells(c):                             # [V,2,H+1] -> [V,1,2(H+1)]
             return jnp.concatenate([c[:, 0, :], c[:, 1, :]], axis=-1)[:, None, :]
@@ -363,7 +371,7 @@ class PiAdmmEngine:
 
         def body(c):
             # vehicle side
-            u, pos = self._local_solve(xt, c["u"], ref_flat,
+            u, pos = self._local_solve(affines, c["u"], ref_flat,
                                        flat_cells(c["hat"]),
                                        flat_cells(c["dual"].dual), al_w,
                                        c["dual"].rho)
@@ -417,6 +425,7 @@ class PiAdmmEngine:
                           xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])],
                          axis=1)
 
+        affines = self._local_affines(xt)
         # consensus/dual cells per ordered pair: [P, 2 sides, 2 xy, H+1]
         cell0 = jnp.zeros((p, 2, 2, h1), self.dtype)
         dual0 = init_dual_state((p, 2, 2, h1), cfg.rho, self.dtype)
@@ -456,7 +465,7 @@ class PiAdmmEngine:
                 w = c["ever"].astype(self.dtype)[side_of[..., 0]]
             else:
                 w = jnp.ones((v, v - 1), self.dtype)
-            u, pos = self._local_solve(xt, c["u"], ref_flat,
+            u, pos = self._local_solve(affines, c["u"], ref_flat,
                                        gather_terms(c["hat"]),
                                        gather_terms(c["dual"].dual), w,
                                        c["dual"].rho)
