@@ -202,3 +202,8 @@ class SolverConfig:
     qp_sigma: float = 1.0e-6
     qp_alpha: float = 1.6
     qp_tol: float = 1.0e-6
+    # fuse each iteration segment into one Pallas TPU kernel (see
+    # solvers/qp_pallas.py); `interpret` runs the kernel in interpreter mode
+    # for CPU testing
+    qp_use_pallas: bool = False
+    qp_pallas_interpret: bool = False

@@ -133,25 +133,43 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
         # is numerically safe at these sizes.
         kkt_inv = jnp.linalg.inv(ps + sigma * eye_n + rho * ata)
 
-        def step(carry, _):
-            x, z, y, done, iters = carry
-            rhs = sigma * x - qs + as_.T @ (rho * z - y)
-            x_t = kkt_inv @ rhs
-            z_t = as_ @ x_t
-            x_new = alpha * x_t + (1 - alpha) * x
-            z_relax = alpha * z_t + (1 - alpha) * z
-            z_new = jnp.clip(z_relax + y / rho, los, his)
-            y_new = y + rho * (z_relax - z_new)
-
-            prim, dual = unscaled_residuals(x_new, z_new, y_new)
-            now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
+        if cfg.qp_use_pallas:
+            # fused-kernel path: the whole segment runs inside one Pallas
+            # program; convergence is checked per segment (a converged
+            # iterate is a fixed point, so the extra in-segment iterations
+            # are no-ops numerically)
+            from .qp_pallas import osqp_iterate_fused
+            x_new, z_new, y_new = osqp_iterate_fused(
+                kkt_inv, as_, qs, los, his, x, z, y, rho,
+                jnp.asarray(sigma, dtype), jnp.asarray(alpha, dtype),
+                seg_len, interpret=cfg.qp_pallas_interpret)
             keep = lambda new, old: jnp.where(done, old, new)
-            return (keep(x_new, x), keep(z_new, z), keep(y_new, y),
-                    jnp.logical_or(done, now_done),
-                    iters + jnp.logical_not(done).astype(jnp.int32)), None
+            x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
+            prim, dual = unscaled_residuals(x, z, y)
+            now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
+            iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
+            done = jnp.logical_or(done, now_done)
+        else:
+            def step(carry, _):
+                x, z, y, done, iters = carry
+                rhs = sigma * x - qs + as_.T @ (rho * z - y)
+                x_t = kkt_inv @ rhs
+                z_t = as_ @ x_t
+                x_new = alpha * x_t + (1 - alpha) * x
+                z_relax = alpha * z_t + (1 - alpha) * z
+                z_new = jnp.clip(z_relax + y / rho, los, his)
+                y_new = y + rho * (z_relax - z_new)
 
-        (x, z, y, done, iters), _ = jax.lax.scan(
-            step, (x, z, y, done, iters), None, length=seg_len)
+                prim, dual = unscaled_residuals(x_new, z_new, y_new)
+                now_done = jnp.logical_and(prim < cfg.qp_tol,
+                                           dual < cfg.qp_tol)
+                keep = lambda new, old: jnp.where(done, old, new)
+                return (keep(x_new, x), keep(z_new, z), keep(y_new, y),
+                        jnp.logical_or(done, now_done),
+                        iters + jnp.logical_not(done).astype(jnp.int32)), None
+
+            (x, z, y, done, iters), _ = jax.lax.scan(
+                step, (x, z, y, done, iters), None, length=seg_len)
 
         # adaptive rho (OSQP §5.2): balance scaled residual ratio
         prim_s = jnp.max(jnp.abs(as_ @ x - z))
