@@ -63,13 +63,25 @@ class AladinEngine:
                  scfg: SolverConfig = SolverConfig(),
                  alpha: tuple = (1.0, 1.0, 1.0),
                  active_tol: float = 1e-6,
-                 hess_reg: float = 1e-6):
+                 hess_reg: float = 1e-6,
+                 globalization: str = "full_step",
+                 merit_penalty: float = 1e3):
+        """``globalization='linesearch'`` enables the l1-penalty backtracking
+        of the third-party notebooks (ref ``reference/ALADIN-master/
+        ALADIN_with_linesearch.ipynb`` — SURVEY.md C17): one alpha scales the
+        (y - x), dy and lambda moves, chosen as the first candidate from
+        {1, 1/2, ..., 2^-5} that decreases
+        ``phi = sum f_i + pen * (||sum A_i x_i - b||_1 + sum ||h_i||_1)``;
+        ``'full_step'`` is the plain ALADIN of ``ALADIN_fun.py`` (alpha=1)."""
+        assert globalization in ("full_step", "linesearch")
         self.problem = problem
         self.rho, self.mu = rho, mu
         self.scfg = scfg
         self.alpha = alpha
         self.active_tol = active_tol
         self.hess_reg = hess_reg
+        self.globalization = globalization
+        self.merit_penalty = merit_penalty
 
         prob = problem
 
@@ -156,10 +168,31 @@ class AladinEngine:
         dy = sol[:n_agents * ny].reshape(n_agents, ny)
         lam_qp = sol[nv:nv + mc]
 
-        # 5. full-step update (ref example2.py:258-281)
+        # 5. step update (ref example2.py:258-281); optional l1-merit
+        # backtracking globalization (SURVEY.md C17)
         a1, a2, a3 = self.alpha
-        x_new = state.x + a1 * (ys - state.x) + a2 * dy
-        lam_new = state.lam + a3 * (lam_qp - state.lam)
+        if self.globalization == "linesearch":
+            pen = self.merit_penalty
+
+            def merit(x_all):
+                fs = jax.vmap(prob.f)(x_all, p)
+                hs = jax.vmap(prob.h)(x_all, p)
+                coup = jnp.einsum('imn,in->m', prob.a_mats, x_all) - prob.b
+                return (jnp.sum(fs) + pen * jnp.sum(jnp.abs(coup))
+                        + pen * jnp.sum(jnp.abs(hs)))
+
+            alphas = 0.5 ** jnp.arange(6, dtype=dtype)
+            phi0 = merit(state.x)
+            phis = jax.vmap(lambda a: merit(
+                state.x + a * (ys - state.x) + a * dy))(alphas)
+            ok = phis < phi0
+            a_sel = jnp.where(jnp.any(ok), alphas[jnp.argmax(ok)],
+                              alphas[-1])
+            x_new = state.x + a_sel * (ys - state.x) + a_sel * dy
+            lam_new = state.lam + a_sel * (lam_qp - state.lam)
+        else:
+            x_new = state.x + a1 * (ys - state.x) + a2 * dy
+            lam_new = state.lam + a3 * (lam_qp - state.lam)
 
         coupling_res = jnp.sum(jnp.abs(
             jnp.einsum('imn,in->m', prob.a_mats, ys) - prob.b))

@@ -81,6 +81,26 @@ def euler_rollout(rhs, x0: jnp.ndarray, us: jnp.ndarray, dt: float) -> jnp.ndarr
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
+def rk4_rollout(rhs, x0: jnp.ndarray, us: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Classic RK4 rollout with zero-order-hold controls.
+
+    The higher-order integrator of the third-party ALADIN optimal-control
+    notebooks (ref ``reference/ALADIN-master/ALADIN_legacy.ipynb`` — SURVEY.md
+    C17); usable as a drop-in for :func:`euler_rollout` in any planner for a
+    more accurate plant/prediction model.
+    """
+    def step(x, u):
+        k1 = rhs(x, u)
+        k2 = rhs(x + 0.5 * dt * k1, u)
+        k3 = rhs(x + 0.5 * dt * k2, u)
+        k4 = rhs(x + dt * k3, u)
+        x_next = x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, us)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
 # %% 3-state linearized unicycle (PI-ADMM line). State = (x, y, theta),
 # control = steering angle u; constant speed per vehicle; wheel base L.
 

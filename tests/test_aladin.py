@@ -84,3 +84,17 @@ class TestNonconvexLocalConstraints:
         oracle = solve_nlp(nlp, jnp.array([0.5, 0.5]), p, SCFG)
         np.testing.assert_allclose(np.asarray(ys[0]), np.asarray(oracle.x),
                                    atol=1e-3)
+
+
+class TestLinesearchGlobalization:
+    def test_linesearch_converges_on_consensus(self):
+        """ref ALADIN_with_linesearch.ipynb variant: l1-merit backtracking."""
+        a_mats = jnp.asarray(np.array([[[1.0]], [[-1.0]]]))
+        prob = AladinProblem(
+            f=lambda y, p: jnp.sum((y - p) ** 2),
+            h=no_h, a_mats=a_mats, b=jnp.zeros(1))
+        eng = AladinEngine(prob, rho=1.0, scfg=SCFG,
+                           globalization="linesearch")
+        targets = jnp.asarray(np.array([[3.0], [7.0]]))
+        state, ys = eng.run(jnp.zeros((2, 1)), targets, n_iters=30)
+        np.testing.assert_allclose(np.asarray(ys), 5.0, atol=1e-4)

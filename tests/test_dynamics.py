@@ -166,3 +166,25 @@ class TestUnicycle:
         np.testing.assert_allclose(np.asarray(x[0]),
                                    -10.0 + 0.4 * np.arange(self.H + 1) * 1.0,
                                    atol=1e-9)
+
+
+class TestRK4:
+    def test_rk4_more_accurate_than_euler(self):
+        """Circular motion: RK4 must beat Euler against the exact circle."""
+        import jax.numpy as jnp
+        from dlp_admm_tpu.ops.dynamics import euler_rollout, rk4_rollout
+
+        def rhs(x, u):  # unit circle: xdot = -y, ydot = x
+            return jnp.stack([-x[..., 1], x[..., 0]], axis=-1)
+
+        x0 = jnp.array([1.0, 0.0])
+        us = jnp.zeros((50, 1))
+        dt = 0.1
+        eu = euler_rollout(rhs, x0, us, dt)
+        rk = rk4_rollout(rhs, x0, us, dt)
+        t = dt * np.arange(51)
+        exact = np.stack([np.cos(t), np.sin(t)], axis=-1)
+        err_eu = np.abs(np.asarray(eu) - exact).max()
+        err_rk = np.abs(np.asarray(rk) - exact).max()
+        assert err_rk < err_eu / 100
+        assert err_rk < 1e-5
