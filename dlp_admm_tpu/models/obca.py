@@ -234,6 +234,7 @@ class ConsensusObcaPlanner:
                  refs: Optional[np.ndarray] = None,
                  lamb_ij_mode: str = "track_edge",
                  dual_cfg: Optional["DualUpdateConfig"] = None,
+                 local_warm_mode: str = "reference",
                  dtype=jnp.float64):
         from .. import scenarios
         from ..config import DualStrategy, DualUpdateConfig, WindupMode
@@ -243,6 +244,11 @@ class ConsensusObcaPlanner:
         assert lamb_ij_mode in ("frozen", "track_local", "track_edge")
         self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
         self.lamb_ij_mode = lamb_ij_mode
+        # 'reference' re-warms locals from the ref trajectory every ADMM
+        # iteration (the reference's behavior); 'previous' warm-starts from
+        # the previous iterate (smoother ADMM path, fewer IP iterations)
+        assert local_warm_mode in ("reference", "previous")
+        self.local_warm_mode = local_warm_mode
         # dual update on lamb_bar: the reference uses plain ascent
         # (lambda_update optimizer.py:330-335); we default to plain ascent
         # PLUS saturation (the paper's anti-windup idea applied to the OBCA
@@ -471,7 +477,7 @@ class ConsensusObcaPlanner:
             self.refs, step_idx, n, axis=1)               # [2, N, 5]
         rho = jnp.asarray(ocfg.rho, self.dtype)
 
-        def local_solve(bs: BarState):
+        def local_solve(bs: BarState, x_prev):
             p = dict(init_state=init_state,
                      ref_win=ref_win,
                      other_a=bs.a_mat[::-1],
@@ -480,15 +486,20 @@ class ConsensusObcaPlanner:
                      z_bar=bs.z_bar,
                      lamb_bar=bs.lamb_bar,
                      rho=jnp.broadcast_to(rho, (2,)))
-            sol = jax.vmap(lambda x0, pp: solve_nlp(self._local_nlp, x0, pp,
-                                                    self.scfg))(
-                self._local_warm(ref_win, p), p)
+            if self.local_warm_mode == "previous":
+                x0 = x_prev
+            else:
+                # reference semantics: re-initialize from the reference
+                # trajectory every iteration (local_initialize :50-55)
+                x0 = self._local_warm(ref_win, p)
+            sol = jax.vmap(lambda xx, pp: solve_nlp(self._local_nlp, xx, pp,
+                                                    self.scfg))(x0, p)
             xs, us, lam, _ = jax.vmap(self._loc_split)(sol.x)
             return xs, us, lam, sol
 
         def body(c):
             bs = c["bs"]
-            xs, us, lam, _ = local_solve(bs)
+            xs, us, lam, sol = local_solve(bs, c["loc_x"])
             # bar_state_update (ref optimizer.py:205-222): broadcast
             # recomputed halfspaces + local states; lamb_ij per mode
             a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
@@ -537,6 +548,7 @@ class ConsensusObcaPlanner:
             done = jnp.logical_and(primal <= ocfg.primal_thres,
                                    dual <= ocfg.dual_thres)
             return dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
+                        loc_x=sol.x,
                         sum_err=dual_new.sum_err, diff_val=dual_new.diff_val,
                         it=c["it"] + 1, done=done, primal=primal, dual=dual)
 
@@ -545,10 +557,18 @@ class ConsensusObcaPlanner:
                                    c["it"] < ocfg.max_admm_iters)
 
         zeros9 = jnp.zeros((2, n - 1, 9), self.dtype)
+        p_init = dict(init_state=init_state, ref_win=ref_win,
+                      other_a=bar_state_prev.a_mat[::-1],
+                      other_b=bar_state_prev.b[::-1],
+                      other_lij=bar_state_prev.lamb_ij[::-1],
+                      z_bar=bar_state_prev.z_bar,
+                      lamb_bar=bar_state_prev.lamb_bar,
+                      rho=jnp.broadcast_to(rho, (2,)))
         c0 = dict(bs=bar_state_prev,
                   us_prev=jnp.zeros((2, n - 1, 2), self.dtype),
                   lamb_prev=bar_state_prev.lamb_bar,
                   xs=jnp.broadcast_to(ref_win, (2, n, 5)),
+                  loc_x=self._local_warm(ref_win, p_init),
                   sum_err=zeros9, diff_val=zeros9,
                   it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
                   primal=jnp.asarray(jnp.inf, self.dtype),

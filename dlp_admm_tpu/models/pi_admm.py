@@ -33,14 +33,14 @@ Key TPU redesigns vs the reference (SURVEY.md §3 hot loops, §7):
 """
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import (DualStrategy, DualUpdateConfig, PiAdmmConfig,
+from ..config import (DualUpdateConfig, PiAdmmConfig,
                       SolverConfig)
 from ..coordination.dual_update import DualState, init_dual_state, update_dual
 from ..coordination.residuals import (min_pair_distance, per_edge_residuals,

@@ -32,7 +32,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
+
 
 from ..config import SolverConfig
 
@@ -47,7 +47,7 @@ class QPSolution(NamedTuple):
     converged: jnp.ndarray   # both residuals below cfg.qp_tol at exit
 
 
-def _ruiz_equilibrate(p_mat, q, a_mat, n_iters: int = 10):
+def _ruiz_equilibrate(p_mat, q, a_mat, n_iters: int = 5):
     """Modified Ruiz scaling (OSQP §5.1): infinity-norm equilibration of the
     stacked KKT matrix plus cost normalization. Returns scaled data and the
     diagonal scalings (d [n], e [m], c scalar)."""
@@ -150,8 +150,13 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
             iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
             done = jnp.logical_or(done, now_done)
         else:
+            # residuals are only evaluated at segment boundaries: checking
+            # them every iteration costs three extra reads of the (large)
+            # constraint tensor per iteration — the measured HBM-bandwidth
+            # bottleneck of the batched edge QPs. A converged iterate is a
+            # fixed point, so the extra in-segment iterations are no-ops.
             def step(carry, _):
-                x, z, y, done, iters = carry
+                x, z, y = carry
                 rhs = sigma * x - qs + as_.T @ (rho * z - y)
                 x_t = kkt_inv @ rhs
                 z_t = as_ @ x_t
@@ -159,17 +164,16 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
                 z_relax = alpha * z_t + (1 - alpha) * z
                 z_new = jnp.clip(z_relax + y / rho, los, his)
                 y_new = y + rho * (z_relax - z_new)
+                return (x_new, z_new, y_new), None
 
-                prim, dual = unscaled_residuals(x_new, z_new, y_new)
-                now_done = jnp.logical_and(prim < cfg.qp_tol,
-                                           dual < cfg.qp_tol)
-                keep = lambda new, old: jnp.where(done, old, new)
-                return (keep(x_new, x), keep(z_new, z), keep(y_new, y),
-                        jnp.logical_or(done, now_done),
-                        iters + jnp.logical_not(done).astype(jnp.int32)), None
-
-            (x, z, y, done, iters), _ = jax.lax.scan(
-                step, (x, z, y, done, iters), None, length=seg_len)
+            (x_new, z_new, y_new), _ = jax.lax.scan(
+                step, (x, z, y), None, length=seg_len)
+            keep = lambda new, old: jnp.where(done, old, new)
+            x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
+            prim, dual = unscaled_residuals(x, z, y)
+            now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
+            iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
+            done = jnp.logical_or(done, now_done)
 
         # adaptive rho (OSQP §5.2): balance scaled residual ratio
         prim_s = jnp.max(jnp.abs(as_ @ x - z))

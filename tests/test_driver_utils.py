@@ -96,3 +96,27 @@ class TestShardingEquivalence:
                                    np.asarray(single[0]), atol=1e-10)
         np.testing.assert_array_equal(np.asarray(sharded[2].iterations),
                                       np.asarray(single[2].iterations))
+
+    def test_sharded_consensus_flagship(self):
+        """The flagship consensus OBCA step also runs scenario-sharded (its
+        _mpc_step_impl has the same (carry1, carry2, idx) signature)."""
+        from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
+        from dlp_admm_tpu.parallel import planner_mesh, shard_scenarios, \
+            sharded_batch_step
+
+        pl = ConsensusObcaPlanner(
+            ObcaConfig(horizon=8, min_dis=0.1, rho=100.0, max_admm_iters=2),
+            scfg=SolverConfig(ip_iters=6, ip_tol=1e-6))
+        n_scen = 4
+        init = jnp.broadcast_to(jnp.asarray(pl.refs[:, 0, :]),
+                                (n_scen, 2, 5))
+        bs = pl.create_bar_state()
+        bs_batch = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_scen,) + a.shape), bs)
+        mesh = planner_mesh(n_scenario=4, n_vehicle=2)
+        init_s, bs_s = shard_scenarios(mesh, (init, bs_batch))
+        step = sharded_batch_step(pl, mesh)
+        nxt, bs_out, it, pr, du, cv = step(init_s, bs_s,
+                                           jnp.asarray(0, jnp.int32))
+        assert nxt.shape == (n_scen, 2, 5)
+        assert bool(jnp.all(jnp.isfinite(nxt)))
