@@ -561,7 +561,13 @@ class PiAdmmEngine:
 
     # -- full MPC run (host loop; scan version lives in mpc.driver) -------
 
-    def run(self, xt0: Optional[np.ndarray] = None, n_steps: Optional[int] = None):
+    def run(self, xt0: Optional[np.ndarray] = None,
+            n_steps: Optional[int] = None,
+            checkpoint_path: Optional[str] = None, resume: bool = False):
+        """MPC loop; pass ``checkpoint_path`` to persist the (xt, u) carry
+        after every step and ``resume=True`` to continue a saved run
+        (SURVEY.md §5: the MPC carry is the natural checkpoint unit —
+        records of completed steps are not replayed)."""
         from .. import scenarios
         cfg = self.cfg
         if xt0 is None:
@@ -569,10 +575,19 @@ class PiAdmmEngine:
         xt = jnp.asarray(xt0, self.dtype)
         u = jnp.zeros((cfg.num_veh, cfg.horizon), self.dtype)
         n_steps = cfg.n_mpc_steps if n_steps is None else n_steps
+        start = 0
+        if checkpoint_path is not None and resume:
+            import os
+            if os.path.exists(checkpoint_path):
+                from ..utils.checkpoint import load_carry
+                (xt, u), start = load_carry(checkpoint_path, (xt, u))
         records = []
-        for step in range(n_steps):
+        for step in range(start, n_steps):
             # shift-warm-start (ref main.py:85: init_u = [u[1:], u[-1]])
             u = jnp.concatenate([u[:, 1:], u[:, -1:]], axis=1)
             xt, u, rec = self._mpc_step(xt, u, jnp.asarray(step, jnp.int32))
             records.append(jax.device_get(rec))
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import save_carry
+                save_carry(checkpoint_path, (xt, u), step + 1)
         return jax.tree.map(lambda *xs: np.stack(xs), *records)

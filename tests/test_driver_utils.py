@@ -120,3 +120,23 @@ class TestShardingEquivalence:
                                            jnp.asarray(0, jnp.int32))
         assert nxt.shape == (n_scen, 2, 5)
         assert bool(jnp.all(jnp.isfinite(nxt)))
+
+
+class TestEngineCheckpointResume:
+    def test_pi_admm_resume_matches_uninterrupted(self):
+        import tempfile
+        from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
+
+        cfg = PiAdmmConfig(iter_num=4)
+        xt0 = np.array([[-3.0, 0.0, 0.0], [0.0, 6.0, -np.pi / 2]])
+        eng = PiAdmmEngine(cfg, DualUpdateConfig(), SCFG_QP,
+                           layout="pairwise")
+        full = eng.run(xt0=xt0, n_steps=6)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "run.npz")
+            eng.run(xt0=xt0, n_steps=3, checkpoint_path=path)
+            tail = eng.run(xt0=xt0, n_steps=6, checkpoint_path=path,
+                           resume=True)
+        # resumed steps 3..5 must match the uninterrupted run exactly
+        np.testing.assert_allclose(np.asarray(tail.xt),
+                                   np.asarray(full.xt[3:]), atol=1e-12)
