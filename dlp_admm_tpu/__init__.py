@@ -9,8 +9,24 @@ ALADIN formulations — redesigned TPU-first:
 * batched interior-point and OSQP-style QP solvers replace IPOPT/OSQP
 * vehicles / collision pairs / scenarios are mesh axes (vmap / shard_map)
 * fixed-iteration loops with convergence masks keep all shapes static
+
+Importing the package sets JAX's default matmul precision to full float32
+(overridable with ``DLP_ADMM_TPU_MATMUL_PRECISION``): on TPU the MXU default
+is bf16 passes with ~1e-2 relative error, which is fine for neural nets but
+corrupts the solvers' near-singular KKT systems (NaN Cholesky factors,
+residuals that never reach tolerance). The planner's matmuls are tiny — the
+accuracy is free; hot kernels opt back in to bf16 explicitly where safe.
 """
-from . import config, scenarios  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+if not _os.environ.get("DLP_ADMM_TPU_MATMUL_PRECISION_KEEP"):
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("DLP_ADMM_TPU_MATMUL_PRECISION", "float32"))
+
+from . import config, scenarios  # noqa: F401,E402
 from .config import (  # noqa: F401
     DualStrategy,
     DualUpdateConfig,

@@ -202,6 +202,13 @@ class SolverConfig:
     qp_sigma: float = 1.0e-6
     qp_alpha: float = 1.6
     qp_tol: float = 1.0e-6
+    # condensed-KKT inverse strategy: "ns" builds it with Newton-Schulz
+    # matmul iterations from a spectrally-safe diagonal seed (no
+    # factorization custom call at all — fastest on TPU for the planner's
+    # Ruiz-equilibrated matrices, kappa <~ 1e3); "chol" computes it exactly
+    # via Cholesky (use for ill-conditioned / non-planner QPs)
+    qp_kkt: str = "ns"
+    qp_ns_iters: int = 18
     # fuse each iteration segment into one Pallas TPU kernel (see
     # solvers/qp_pallas.py); `interpret` runs the kernel in interpreter mode
     # for CPU testing

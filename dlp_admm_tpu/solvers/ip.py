@@ -68,7 +68,17 @@ def solve_nlp(nlp: NLP, x0: jnp.ndarray, p,
               cfg: SolverConfig = SolverConfig(),
               y0: Optional[jnp.ndarray] = None,
               z0: Optional[jnp.ndarray] = None) -> NLPSolution:
-    """Solve one NLP instance (vmap for batches)."""
+    """Solve one NLP instance (vmap for batches).
+
+    Runs at full f32 matmul precision: the TPU bf16 MXU default corrupts
+    the condensed Newton KKT system (mixed 1e-6..1e7 scales) enough to break
+    descent; the dots here are tiny next to the per-iteration ``solve``.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_nlp_f32(nlp, x0, p, cfg, y0, z0)
+
+
+def _solve_nlp_f32(nlp: NLP, x0, p, cfg, y0, z0) -> NLPSolution:
     dtype = x0.dtype
     n = x0.shape[0]
     m_e = jax.eval_shape(nlp.ce, x0, p).shape[0]

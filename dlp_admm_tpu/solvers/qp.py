@@ -21,10 +21,22 @@ Implementation mirrors the full OSQP recipe so badly-scaled planner QPs
 * modified Ruiz equilibration of [[P, A^T], [A, 0]] + cost normalization
 * splitting iteration with over-relaxation ``alpha``
 * adaptive ``rho``: the iteration runs in segments; between segments rho is
-  rescaled by sqrt(primal_res / dual_res) and the condensed KKT matrix is
-  re-factorized (dense Cholesky — cheap at these sizes)
+  rescaled by sqrt(primal_res / dual_res) and the condensed KKT inverse is
+  refreshed
 
 Equality rows (l == u) are handled by the clip automatically.
+
+TPU factorization strategy (profiled on v5e): batched LU (``linalg.inv``)
+and Cholesky are *custom calls* — latency-bound sequential panel
+factorizations that dwarf everything else in the solve (a batch-768 90x90
+``inv`` costs ~24 ms; the same batch of Newton–Schulz matmul iterations
+costs <1 ms). So the condensed KKT matrix ``P + sigma I + rho A^T A`` is
+inverted ONCE per solve via Cholesky (the cheapest exact custom call), and
+the per-segment rho refresh updates the inverse with a few Newton–Schulz
+iterations (pure MXU matmuls): with the per-segment rho change factor
+clipped to (0, 2), the spectral radius of ``I - X_old K_new`` is < 1 and
+the quadratic NS iteration reconverges in <= 8 steps. See
+``_spd_inverse`` / ``_ns_refresh``.
 """
 from __future__ import annotations
 
@@ -86,6 +98,58 @@ def _ruiz_equilibrate(p_mat, q, a_mat, n_iters: int = 5):
     return ps, qs, as_, d, e, c
 
 
+def _spd_inverse(k_mat: jnp.ndarray) -> jnp.ndarray:
+    """Exact inverse of an SPD matrix via Cholesky.
+
+    One factorization custom call + one triangular solve; ~2.6x cheaper than
+    the batched-LU ``jnp.linalg.inv`` on TPU (both are latency-bound custom
+    calls, but Cholesky does half the work and one solve instead of two).
+    """
+    n = k_mat.shape[-1]
+    chol = jnp.linalg.cholesky(k_mat)
+    eye = jnp.eye(n, dtype=k_mat.dtype)
+    l_inv = jax.lax.linalg.triangular_solve(chol, eye, left_side=True,
+                                            lower=True)
+    return l_inv.T @ l_inv
+
+
+def _ns_cold_inverse(k_mat: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """Inverse of an SPD matrix by Newton-Schulz from a cold seed — zero
+    factorization custom calls, pure MXU matmuls.
+
+    Seed ``X0 = I / ||K||_inf`` is spectrally safe for SPD ``K``:
+    ``eig(X0 K) in (0, 1]`` so ``rho(I - X0 K) = 1 - lmin/||K||_inf < 1``.
+    Error squares every iteration from ``~1 - 1/(c kappa)``; the planner's
+    Ruiz-equilibrated KKT matrices measure ``kappa <= ~6e2`` (median 3e2),
+    so ~16 iterations reach f32 accuracy and 18 covers f64 QP tests too.
+    """
+    n = k_mat.shape[-1]
+    norm_inf = jnp.max(jnp.sum(jnp.abs(k_mat), axis=-1))
+    x0 = jnp.eye(n, dtype=k_mat.dtype) / norm_inf
+    return _ns_refresh(k_mat, x0, n_iters)
+
+
+def _ns_refresh(k_new: jnp.ndarray, x_old: jnp.ndarray,
+                n_iters: int = 8) -> jnp.ndarray:
+    """Newton–Schulz refresh: re-converge an inverse after the matrix moved.
+
+    ``X <- X (2I - K X)`` doubles the correct digits per step whenever
+    ``spectral_radius(I - K X0) < 1``. Here ``K_new = K_old + (g-1) rho
+    A^T A`` with the rho step factor ``g`` clipped below 2 by the caller, so
+    ``I - X_old K_new = -(g-1) rho X_old A^T A`` has eigenvalues in
+    ``(-(g-1), 0]`` for rho increases and ``[0, 1-g)`` for decreases — both
+    inside the unit disk. Pure MXU matmuls: ~30x cheaper than refactorizing.
+    """
+    n = k_new.shape[-1]
+    eye2 = 2.0 * jnp.eye(n, dtype=k_new.dtype)
+
+    def body(x, _):
+        return x @ (eye2 - k_new @ x), None
+
+    x, _ = jax.lax.scan(body, x_old, None, length=n_iters)
+    return x
+
+
 def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
              lo: jnp.ndarray, hi: jnp.ndarray,
              cfg: SolverConfig = SolverConfig(),
@@ -95,11 +159,22 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
 
     All shapes static: ``p_mat [n,n]``, ``q [n]``, ``a_mat [m,n]``,
     ``lo/hi [m]`` (infinities allowed). The iteration runs in 4 segments of
-    ``cfg.qp_iters // 4`` steps with rho re-scaled and the KKT re-factorized
-    between segments; iterates freeze once both unscaled residuals drop below
-    ``cfg.qp_tol`` (convergence masking instead of data-dependent exit —
-    SURVEY.md §7 hard part 2).
+    ``cfg.qp_iters // 4`` steps with rho re-scaled and the KKT inverse
+    refreshed between segments; iterates freeze once both unscaled residuals
+    drop below ``cfg.qp_tol`` (convergence masking instead of
+    data-dependent exit — SURVEY.md §7 hard part 2).
+
+    All dots run at full f32 matmul precision: the TPU default (bf16 MXU
+    passes) carries ~1e-2 relative error, which makes the ~1e-6-min-eig
+    condensed KKT matrix numerically indefinite (NaN Cholesky) and stalls
+    residuals far above ``qp_tol``. The extra MXU passes are noise next to
+    the factorization custom call.
     """
+    with jax.default_matmul_precision("float32"):
+        return _solve_qp_f32(p_mat, q, a_mat, lo, hi, cfg, x0, y0)
+
+
+def _solve_qp_f32(p_mat, q, a_mat, lo, hi, cfg, x0, y0) -> QPSolution:
     n = q.shape[0]
     m = lo.shape[0]
     dtype = q.dtype
@@ -124,14 +199,19 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
         dual = jnp.max(jnp.abs((ps @ x + qs + as_.T @ y) / (c * d)))
         return prim, dual
 
-    def segment(carry, _):
-        x, z, y, rho, done, iters = carry
-        # explicit inverse instead of a Cholesky factorization: triangular
-        # solves are sequential over n rows (latency-bound on TPU), whereas
-        # applying a precomputed inverse is one MXU matmul per iteration.
-        # The condensed matrix is SPD and Ruiz-equilibrated, so the inverse
-        # is numerically safe at these sizes.
-        kkt_inv = jnp.linalg.inv(ps + sigma * eye_n + rho * ata)
+    def segment(carry, seg_idx):
+        x, z, y, rho, done, iters, kkt_inv = carry
+        # an explicit inverse (applied as one MXU matmul per iteration)
+        # instead of per-iteration triangular solves; computed exactly once
+        # (Cholesky) and refreshed across rho changes with Newton-Schulz
+        # matmuls — factorization custom calls are the dominant cost of the
+        # whole solve on TPU (see module docstring).
+        kkt = ps + sigma * eye_n + rho * ata
+        if seg_idx == 0:
+            kkt_inv = (_ns_cold_inverse(kkt, cfg.qp_ns_iters)
+                       if cfg.qp_kkt == "ns" else _spd_inverse(kkt))
+        else:
+            kkt_inv = _ns_refresh(kkt, kkt_inv)
 
         if cfg.qp_use_pallas:
             # fused-kernel path: the whole segment runs inside one Pallas
@@ -184,16 +264,22 @@ def solve_qp(p_mat: jnp.ndarray, q: jnp.ndarray, a_mat: jnp.ndarray,
             jnp.maximum(jnp.max(jnp.abs(ps @ x)),
                         jnp.maximum(jnp.max(jnp.abs(as_.T @ y)),
                                     jnp.max(jnp.abs(qs)))), 1e-8)
-        new_rho = jnp.clip(
-            rho * jnp.sqrt(prim_rel / jnp.maximum(dual_rel, 1e-12)),
-            1e-6, 1e6)
+        # the per-segment step factor is clipped to keep the Newton-Schulz
+        # inverse refresh contractive (factor < 2, see _ns_refresh); the
+        # clip only slows extreme rho swings down to one segment each
+        factor = jnp.clip(jnp.sqrt(prim_rel / jnp.maximum(dual_rel, 1e-12)),
+                          0.2, 1.9)
+        new_rho = jnp.clip(rho * factor, 1e-6, 1e6)
         rho = jnp.where(done, rho, new_rho)
-        return (x, z, y, rho, done, iters), None
+        return (x, z, y, rho, done, iters, kkt_inv)
 
-    init = (x, z, y, jnp.asarray(cfg.qp_rho, dtype), jnp.asarray(False),
-            jnp.asarray(0, jnp.int32))
-    (x, z, y, _, done, iters), _ = jax.lax.scan(segment, init, None,
-                                                length=n_segments)
+    carry = (x, z, y, jnp.asarray(cfg.qp_rho, dtype), jnp.asarray(False),
+             jnp.asarray(0, jnp.int32), jnp.zeros((n, n), dtype))
+    # unrolled (segment 0 factorizes, the rest Newton-Schulz-refresh — the
+    # bodies differ, and n_segments is tiny)
+    for seg_idx in range(n_segments):
+        carry = segment(carry, seg_idx)
+    x, z, y, _, done, iters, _ = carry
     prim, dual = unscaled_residuals(x, z, y)
     # unscale solution
     return QPSolution(d * x, e * y / c, z / e, prim, dual, iters, done)
