@@ -32,6 +32,7 @@ class Formulation(enum.Enum):
     CONSENSUS = "consensus"           # consensus ADMM, local S=(X, lambda) vs edge Z
     BILEVEL = "bilevel"               # MISC: edge solves only the collision-dual problem
     TIGHTENING = "tightening"         # one local + one edge pass per MPC step
+    TIGHTENING_SLACK = "tightening_slack"  # + explicit separating-direction s
     ALADIN = "aladin"                 # ALADIN coordinator
 
 

@@ -4,6 +4,7 @@ from .bilevel import (  # noqa: F401
     BilevelObcaPlanner,
     FixedDualState,
     TighteningObcaPlanner,
+    TighteningSlackObcaPlanner,
     solve_collision_duals,
 )
 from .obca import (  # noqa: F401

@@ -55,6 +55,39 @@ def _dual_nlp(min_dis: float, lam_hi: float = 5.0) -> NLP:
     return NLP(f, ce, ci)
 
 
+def _dual_slack_nlp(min_dis: float, lam_hi: float = 1.0e4) -> NLP:
+    """Per-timestep collision-dual problem with an explicit separating
+    direction s — the ``decentralized_tighting/optimizer.py`` (non-ori)
+    variant: x = [l_0 (4), l_1 (4), s (2)],
+
+        min b_0^T l_0 + b_1^T l_1
+        s.t. A_0^T l_0 + s = 0,  A_1^T l_1 - s = 0            (6a)/(6b)
+             -b_0^T l_0 - b_1^T l_1 >= min_dis                (6c-1)
+             ||s||^2 <= 1,  -1 <= s <= 1,  0 <= l <= 1e4      (6c-2 + bounds)
+
+    Ref ``optimizer.py:236-270`` (constraints), ``:258-268`` (bounds),
+    ``:271-274`` (objective).
+    """
+
+    def f(x, p):
+        return p["b0"] @ x[:4] + p["b1"] @ x[4:8]
+
+    def ce(x, p):
+        s = x[8:]
+        return jnp.concatenate([p["a0"].T @ x[:4] + s,
+                                p["a1"].T @ x[4:8] - s])
+
+    def ci(x, p):
+        lam = x[:8]
+        s = x[8:]
+        sep = -p["b0"] @ x[:4] - p["b1"] @ x[4:8] - min_dis
+        sn = 1.0 - jnp.sum(s ** 2)
+        return jnp.concatenate([jnp.array([sep, sn]), lam, lam_hi - lam,
+                                1.0 - s, 1.0 + s])
+
+    return NLP(f, ce, ci)
+
+
 def solve_collision_duals(a_mat, b, min_dis: float, scfg: SolverConfig,
                           lam_warm=None):
     """Batched edge dual solve: ``a_mat [2, T, 4, 2]``, ``b [2, T, 4]`` ->
@@ -80,74 +113,136 @@ def solve_collision_duals(a_mat, b, min_dis: float, scfg: SolverConfig,
     return lam, sol
 
 
+def solve_collision_duals_slack(a_mat, b, min_dis: float, scfg: SolverConfig,
+                                lam_warm=None, s_warm=None):
+    """Batched slack-variant edge solve: returns ``(lam [2,T,4], s [T,2],
+    sol)``. Same warm-keep policy as :func:`solve_collision_duals`."""
+    nlp = _dual_slack_nlp(min_dis)
+    t = b.shape[1]
+    p = dict(a0=a_mat[0], a1=a_mat[1], b0=b[0], b1=b[1])
+    if lam_warm is None:
+        x0 = jnp.full((t, 10), 0.5, b.dtype)
+        x0 = x0.at[:, 8:].set(0.0)
+    else:
+        x0 = jnp.concatenate([lam_warm[0], lam_warm[1], s_warm], axis=-1)
+    sol = jax.vmap(lambda xx, pp: solve_nlp(nlp, xx, pp, scfg))(x0, p)
+    lam = jnp.stack([sol.x[:, :4], sol.x[:, 4:8]])
+    s = sol.x[:, 8:]
+    if lam_warm is not None:
+        ok = sol.converged[:, None]
+        lam = jnp.where(ok[None], lam, lam_warm)
+        s = jnp.where(ok, s, s_warm)
+    return lam, s, sol
+
+
 # %% shared: fixed-dual local NLP --------------------------------------------
 
 
 class _FixedDualLocal:
     """Local tracking NLP with collision rows using FIXED duals as data.
 
-    x = [X (5N) | U (2(N-1)) | e (N-1)]; (5a)/(5b) of ref
-    ``decentralized_MISC/optimizer.py`` / ``optimizer_ori.py:101-123`` with
-    the dual variables replaced by bar-state data; both rows elastic
-    (l1 exact penalty — stale duals make them transiently infeasible, which
-    the reference leaves to IPOPT's restoration)."""
+    x = [X (5N) | U (2(N-1)) | e1 (N-1) | e2 (2(N-1))]; constraint rows are
+    the (5a) separation row and the (5b) dual-feasibility coupling rows of
+    ref ``decentralized_MISC/optimizer.py:101-133`` /
+    ``decentralized_tighting/optimizer{_ori,}.py:101-126`` with the dual
+    variables replaced by bar-state data. Both are elastic (l1 exact
+    penalty via e1/e2 — stale bar data makes them transiently infeasible,
+    which the reference leaves to IPOPT's restoration).
 
-    def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig, dtype):
+    ``coupling`` selects the (5b) form:
+      * ``"other_a"`` — A(X)^T lam_self + A_other^T lam_other = 0
+        (``optimizer_ori.py:119-123``, MISC ``optimizer.py:126-133``)
+      * ``"slack"`` — A(X)^T lam_self + sgn * s_bar = 0 with sgn = +1 for
+        vehicle 0, -1 for vehicle 1 (``optimizer.py:121-125``)
+    """
+
+    def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig, dtype,
+                 coupling: str = "other_a"):
+        if coupling not in ("other_a", "slack"):
+            raise ValueError(f"unknown coupling {coupling!r}")
         self.ocfg, self.vcfg, self.dtype = ocfg, vcfg, dtype
+        self.coupling = coupling
         n = ocfg.horizon
-        self.sizes = dict(x=5 * n, u=2 * (n - 1), e=n - 1)
+        self.sizes = dict(x=5 * n, u=2 * (n - 1), e1=n - 1, e2=2 * (n - 1))
         self.elastic_w = 1.0e7
         self.nlp = NLP(self._obj, self._ce, self._ci)
 
     def split(self, x):
         n = self.ocfg.horizon
         s = self.sizes
+        o_u = s["x"]
+        o_e1 = o_u + s["u"]
+        o_e2 = o_e1 + s["e1"]
         return (x[:s["x"]].reshape(n, 5),
-                x[s["x"]:s["x"] + s["u"]].reshape(n - 1, 2),
-                x[s["x"] + s["u"]:])
+                x[o_u:o_e1].reshape(n - 1, 2),
+                x[o_e1:o_e2],
+                x[o_e2:].reshape(n - 1, 2))
 
     def _obj(self, x, p):
-        xs, us, e = self.split(x)
+        xs, us, e1, e2 = self.split(x)
         err = xs[1:] - p["ref_win"][1:]
         return (self.ocfg.r_ctrl * jnp.sum(us ** 2)
                 + self.ocfg.q_state * jnp.sum(err ** 2)
-                + self.elastic_w * jnp.sum(e))
+                + self.elastic_w * (jnp.sum(e1) + jnp.sum(e2)))
 
     def _ce(self, x, p):
-        xs, us, _ = self.split(x)
+        xs, us, _, _ = self.split(x)
         return _dyn_residual(xs, us, p["init_state"], self.vcfg)
 
-    def _ci(self, x, p):
-        xs, us, e = self.split(x)
+    def _raw_rows(self, xs, p):
+        """(5a) separation margin [T] and (5b) coupling residual [T, 2],
+        both gated by p["active"] (the tightening variant skips collision
+        rows at t_step == 0, optimizer_ori.py:98-99)."""
         a_self, b_self = halfspaces(xs[1:], self.vcfg,
                                     self.ocfg.use_delay_tightening)
-        # (5a) with fixed duals; gated by p["active"] (the tightening variant
-        # skips collision rows at t_step == 0, optimizer_ori.py:98-99)
         sep = (-jnp.einsum('ti,ti->t', b_self, p["lam_self"])
                - jnp.einsum('ti,ti->t', p["other_b"], p["lam_other"])
                - self.ocfg.min_dis)
-        sep = jnp.where(p["active"], sep, 1.0) + e
+        atl = jnp.einsum('tij,ti->tj', a_self, p["lam_self"])
+        if self.coupling == "slack":
+            g = atl + p["sgn"] * p["s_bar"]
+        else:
+            g = atl + jnp.einsum('tij,ti->tj', p["other_a"], p["lam_other"])
+        sep = jnp.where(p["active"], sep, 1.0)
+        g = jnp.where(p["active"], g, 0.0)
+        return sep, g
+
+    def _ci(self, x, p):
+        xs, us, e1, e2 = self.split(x)
+        sep, g = self._raw_rows(xs, p)
         boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
-        return jnp.concatenate([sep, e, boxes])
+        return jnp.concatenate([sep + e1, e1,
+                                (e2 - g).reshape(-1), (e2 + g).reshape(-1),
+                                e2.reshape(-1), boxes])
 
     def warm(self, ref_win, p):
-        base = jnp.concatenate([ref_win.reshape(-1),
-                                jnp.zeros(self.sizes["u"], self.dtype),
-                                jnp.zeros(self.sizes["e"], self.dtype)])
-        sep = self._ci(base, p)[:self.sizes["e"]]
-        return base.at[-self.sizes["e"]:].set(jnp.maximum(-sep, 0.0) + 0.01)
+        s = self.sizes
+        base = jnp.concatenate([
+            ref_win.reshape(-1),
+            jnp.zeros(s["u"] + s["e1"] + s["e2"], self.dtype)])
+        sep, g = self._raw_rows(ref_win, p)
+        e1 = jnp.maximum(-sep, 0.0) + 0.01
+        e2 = (jnp.abs(g) + 0.01).reshape(-1)
+        return jnp.concatenate([base[:s["x"] + s["u"]], e1, e2])
 
 
 class FixedDualState(NamedTuple):
-    """Exchange state: halfspaces + duals (ref MISC ``mid_state``)."""
+    """Exchange state: halfspaces + duals (ref MISC/tighting ``mid_state``).
+
+    ``s`` is the separating-direction slack of the tightening slack variant
+    (ref ``decentralized_tighting/optimizer.py:311`` ``mid_state.s``); the
+    other planners carry zeros."""
 
     a_mat: jnp.ndarray   # [2, T, 4, 2]
     b: jnp.ndarray       # [2, T, 4]
     lam: jnp.ndarray     # [2, T, 4]
+    s: jnp.ndarray       # [T, 2]
 
 
 class _FixedDualPlannerBase:
     """Common driver machinery for the bilevel and tightening planners."""
+
+    coupling = "other_a"
 
     def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig,
                  scfg: SolverConfig, refs: Optional[np.ndarray],
@@ -160,25 +255,37 @@ class _FixedDualPlannerBase:
         if refs is None:
             refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
         self.refs = jnp.asarray(refs, dtype)
-        self.local = _FixedDualLocal(ocfg, vcfg, dtype)
+        self.local = _FixedDualLocal(ocfg, vcfg, dtype, self.coupling)
         self._mpc_step = jax.jit(self._mpc_step_impl)
 
     def create_state(self) -> FixedDualState:
         n = self.ocfg.horizon
         ref0 = self.refs[:, 1:n, :]
         a0, b0 = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
-        lam, _ = solve_collision_duals(a0, b0, self.ocfg.min_dis, self.scfg)
-        return FixedDualState(a_mat=a0, b=b0, lam=lam)
+        s0 = jnp.zeros((n - 1, 2), self.dtype)
+        if self.coupling == "slack":
+            lam, s0, _ = solve_collision_duals_slack(
+                a0, b0, self.ocfg.min_dis, self.scfg)
+        else:
+            lam, _ = solve_collision_duals(a0, b0, self.ocfg.min_dis,
+                                           self.scfg)
+        return FixedDualState(a_mat=a0, b=b0, lam=lam, s=s0)
 
     def _local_solve(self, bs: FixedDualState, init_state, ref_win, active):
         p = dict(init_state=init_state, ref_win=ref_win,
                  lam_self=bs.lam, other_b=bs.b[::-1],
                  lam_other=bs.lam[::-1],
                  active=jnp.broadcast_to(active, (2,)))
+        if self.coupling == "slack":
+            p["s_bar"] = jnp.broadcast_to(bs.s, (2,) + bs.s.shape)
+            p["sgn"] = jnp.asarray([1.0, -1.0], self.dtype)
+        else:
+            p["other_a"] = bs.a_mat[::-1]
         x0 = jax.vmap(self.local.warm)(ref_win, p)
         sol = jax.vmap(lambda xx, pp: solve_nlp(self.local.nlp, xx, pp,
                                                 self.scfg))(x0, p)
-        xs, us, e = jax.vmap(self.local.split)(sol.x)
+        xs, us, e1, e2 = jax.vmap(self.local.split)(sol.x)
+        e = jnp.maximum(jnp.max(e1, axis=-1), jnp.max(e2, axis=(-2, -1)))
         return xs, us, e, sol
 
     def run(self, n_steps: Optional[int] = None):
@@ -222,7 +329,7 @@ class BilevelObcaPlanner(_FixedDualPlannerBase):
                                       self.ocfg.use_delay_tightening)
             lam, dsol = solve_collision_duals(
                 a_new, b_new, self.ocfg.min_dis, self.scfg, bs.lam)
-            bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam)
+            bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=bs.s)
             return bs, (xs, jnp.max(e), dsol.kkt_error.max())
 
         bs, (xs_hist, e_hist, dual_kkt) = jax.lax.scan(
@@ -262,6 +369,33 @@ class TighteningObcaPlanner(_FixedDualPlannerBase):
                                   self.ocfg.use_delay_tightening)
         lam, dsol = solve_collision_duals(a_new, b_new, self.ocfg.min_dis,
                                           self.scfg, bs.lam)
-        bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam)
+        bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=bs.s)
+        info = dict(elastic=jnp.max(e), dual_kkt=dsol.kkt_error.max())
+        return xs[:, 1, :], bs, info
+
+
+class TighteningSlackObcaPlanner(TighteningObcaPlanner):
+    """Constraint-tightening planner with the explicit separating-direction
+    slack (ref ``decentralized_tighting/optimizer.py``, the non-exported
+    variant): local (5b) rows couple A(X)^T lam to the shared direction
+    ``+-s_bar`` (``:121-125``), and the edge re-solves duals AND the
+    direction jointly under ||s||^2 <= 1 (``:236-270``)."""
+
+    coupling = "slack"
+
+    def _mpc_step_impl(self, init_state, bs: FixedDualState, step_idx):
+        n = self.ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
+        active = step_idx > 0
+        xs, us, e, sol = self._local_solve(bs, init_state, ref_win, active)
+
+        # same 2-step prediction shift + duplicated tail as the ori variant
+        shift_idx = jnp.clip(jnp.arange(2, n + 1), None, n - 1)
+        xs_shift = xs[:, shift_idx, :]
+        a_new, b_new = halfspaces(xs_shift, self.vcfg,
+                                  self.ocfg.use_delay_tightening)
+        lam, s_new, dsol = solve_collision_duals_slack(
+            a_new, b_new, self.ocfg.min_dis, self.scfg, bs.lam, bs.s)
+        bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=s_new)
         info = dict(elastic=jnp.max(e), dual_kkt=dsol.kkt_error.max())
         return xs[:, 1, :], bs, info

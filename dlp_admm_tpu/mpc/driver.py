@@ -42,7 +42,8 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
     ``decentralized_overtaking_ADMM.py``, ``BILEVEL`` ≙ the MISC line,
     ``TIGHTENING`` ≙ ``decentralized_overtaking_tighting.py``.
     """
-    from ..models.bilevel import BilevelObcaPlanner, TighteningObcaPlanner
+    from ..models.bilevel import (BilevelObcaPlanner, TighteningObcaPlanner,
+                                  TighteningSlackObcaPlanner)
     from ..models.obca import CentralizedObcaPlanner, ConsensusObcaPlanner
 
     metrics = RunMetrics()
@@ -73,10 +74,14 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
             states, infos = pl.run(n_steps)
         for t, info in enumerate(infos):
             metrics.log_step(t, 1, elastic=float(info["elastic"]))
-    elif formulation is Formulation.TIGHTENING:
+    elif formulation in (Formulation.TIGHTENING,
+                         Formulation.TIGHTENING_SLACK):
+        cls = (TighteningSlackObcaPlanner
+               if formulation is Formulation.TIGHTENING_SLACK
+               else TighteningObcaPlanner)
         ocfg = ocfg or ObcaConfig(horizon=8, min_dis=1.0)
-        pl = TighteningObcaPlanner(ocfg, VehicleConfig(T=7.0, prob=0.99),
-                                   scfg, **planner_kwargs)
+        pl = cls(ocfg, VehicleConfig(T=7.0, prob=0.99), scfg,
+                 **planner_kwargs)
         with metrics.step_timer():
             states, infos = pl.run(n_steps)
         for t, info in enumerate(infos):

@@ -5,7 +5,9 @@ import numpy as np
 from dlp_admm_tpu.config import ObcaConfig, SolverConfig
 from dlp_admm_tpu.models.bilevel import (BilevelObcaPlanner,
                                          TighteningObcaPlanner,
-                                         solve_collision_duals)
+                                         TighteningSlackObcaPlanner,
+                                         solve_collision_duals,
+                                         solve_collision_duals_slack)
 from dlp_admm_tpu.ops.geometry import halfspaces
 
 SCFG = SolverConfig(ip_iters=40, ip_tol=1e-6)
@@ -33,6 +35,29 @@ class TestCollisionDuals:
         # gap 6.5 scaled by the 0.95 norm bound
         np.testing.assert_allclose(val, 6.5 * 0.95, atol=1e-3)
 
+    def test_slack_duals_agree_with_plain(self):
+        """The slack variant's optimum matches the plain dual problem's
+        separation value (same lower-level problem, lifted with s): for
+        separated rectangles -sum b^T lam is the gap (no 0.95 norm scaling —
+        the slack form bounds ||s|| by exactly 1)."""
+        s0 = jnp.asarray(straight_states(0.0, 10.0, 5)[None])
+        s1 = jnp.asarray(straight_states(10.0, 10.0, 5)[None])
+        states = jnp.concatenate([s0, s1], axis=0)
+        a_mat, b = halfspaces(states)
+        lam, s, sol = solve_collision_duals_slack(a_mat, b, 1.0, SCFG)
+        assert bool(np.all(np.asarray(sol.converged)))
+        val = -(np.einsum('ti,ti->t', np.asarray(b[0]), np.asarray(lam[0]))
+                + np.einsum('ti,ti->t', np.asarray(b[1]),
+                            np.asarray(lam[1])))
+        np.testing.assert_allclose(val, 6.5, atol=1e-3)
+        # the separating direction is the +x axis (unit length, at the bound)
+        np.testing.assert_allclose(np.abs(np.asarray(s)[:, 0]), 1.0,
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s)[:, 1], 0.0, atol=1e-3)
+        # (6a)/(6b): A^T lam = -s / +s
+        g0 = np.einsum('tij,ti->tj', np.asarray(a_mat[0]), np.asarray(lam[0]))
+        np.testing.assert_allclose(g0, -np.asarray(s), atol=1e-4)
+
     def test_overlap_keeps_warm_certificates(self):
         s0 = jnp.asarray(straight_states(0.0, 10.0, 3)[None])
         s1 = jnp.asarray(straight_states(1.0, 10.0, 3)[None])  # overlapping
@@ -55,6 +80,13 @@ class TestPlanners:
 
     def test_tightening_keeps_separation(self):
         pl = TighteningObcaPlanner(scfg=SCFG)
+        states, infos = pl.run(n_steps=12)
+        assert np.all(np.isfinite(states))
+        d = np.linalg.norm(states[:, 0, :2] - states[:, 1, :2], axis=1)
+        assert d.min() > 3.5
+
+    def test_tightening_slack_keeps_separation(self):
+        pl = TighteningSlackObcaPlanner(scfg=SCFG)
         states, infos = pl.run(n_steps=12)
         assert np.all(np.isfinite(states))
         d = np.linalg.norm(states[:, 0, :2] - states[:, 1, :2], axis=1)
