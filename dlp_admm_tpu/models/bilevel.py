@@ -13,9 +13,18 @@
   (``optimizer_ori.py:98-99``); ``bar_state_update`` shifts predictions by 2
   steps and duplicates the tail (``:187-206``).
 
+The reference implements both for 2 vehicles; here they are generalized to N
+vehicles with the same neighbour-slot layout as the consensus flagship
+(:mod:`.obca`): collision duals live per unordered pair as ``[P, 2, T, 4]``
+tensors (side 0 = the lower-indexed vehicle), the per-pair lower-level dual
+QCQPs are **independent** and solved as one vmapped batch over (pair,
+timestep), and each vehicle's local NLP takes its K = V-1 neighbour rows as
+fixed data. For ``num_veh == 2`` (P = 1, K = 1) this is exactly the
+reference's formulation.
+
 Both reuse the TPU-native pattern of :mod:`.obca`: vectorized constraints,
 elastic l1 exact penalties on the stale-data collision rows, batched
-interior-point solves (per-timestep dual QCQPs vmapped over the horizon).
+interior-point solves.
 """
 from __future__ import annotations
 
@@ -34,7 +43,7 @@ from .obca import _box_residuals, _dyn_residual
 
 
 def _dual_nlp(min_dis: float, lam_hi: float = 5.0) -> NLP:
-    """Per-timestep collision-dual QCQP over x = [l_0 (4), l_1 (4)].
+    """Per-(pair, timestep) collision-dual QCQP over x = [l_0 (4), l_1 (4)].
 
     Parameters p: ``a0/a1 [4,2]``, ``b0/b1 [4]``. Ref MISC
     ``edge_generate_constrain/_object`` ``optimizer.py:223-257``.
@@ -56,7 +65,7 @@ def _dual_nlp(min_dis: float, lam_hi: float = 5.0) -> NLP:
 
 
 def _dual_slack_nlp(min_dis: float, lam_hi: float = 1.0e4) -> NLP:
-    """Per-timestep collision-dual problem with an explicit separating
+    """Per-(pair, timestep) collision-dual problem with an explicit separating
     direction s — the ``decentralized_tighting/optimizer.py`` (non-ori)
     variant: x = [l_0 (4), l_1 (4), s (2)],
 
@@ -88,49 +97,65 @@ def _dual_slack_nlp(min_dis: float, lam_hi: float = 1.0e4) -> NLP:
     return NLP(f, ce, ci)
 
 
-def solve_collision_duals(a_mat, b, min_dis: float, scfg: SolverConfig,
+def solve_collision_duals(a_pair, b_pair, min_dis: float, scfg: SolverConfig,
                           lam_warm=None):
-    """Batched edge dual solve: ``a_mat [2, T, 4, 2]``, ``b [2, T, 4]`` ->
-    ``lam [2, T, 4]``. One vmapped IP solve replaces the reference's
-    per-step IPOPT instantiations."""
+    """Batched edge dual solve over all pairs and timesteps.
+
+    ``a_pair [P, 2, T, 4, 2]``, ``b_pair [P, 2, T, 4]`` -> ``lam
+    [P, 2, T, 4]``. One vmapped IP solve over the flattened (pair, timestep)
+    batch replaces the reference's per-step IPOPT instantiations.
+    """
     nlp = _dual_nlp(min_dis)
-    t = b.shape[1]
-    p = dict(a0=a_mat[0], a1=a_mat[1], b0=b[0], b1=b[1])
+    p_, t = b_pair.shape[0], b_pair.shape[2]
+    p = dict(a0=a_pair[:, 0].reshape(p_ * t, 4, 2),
+             a1=a_pair[:, 1].reshape(p_ * t, 4, 2),
+             b0=b_pair[:, 0].reshape(p_ * t, 4),
+             b1=b_pair[:, 1].reshape(p_ * t, 4))
     if lam_warm is None:
-        x0 = jnp.full((t, 8), 0.5, b.dtype)
+        x0 = jnp.full((p_ * t, 8), 0.5, b_pair.dtype)
     else:
-        x0 = jnp.concatenate([lam_warm[0], lam_warm[1]], axis=-1)
+        x0 = jnp.concatenate([lam_warm[:, 0], lam_warm[:, 1]],
+                             axis=-1).reshape(p_ * t, 8)
     sol = jax.vmap(lambda xx, pp: solve_nlp(nlp, xx, pp, scfg))(x0, p)
-    lam = jnp.stack([sol.x[:, :4], sol.x[:, 4:]])
+    lam = jnp.stack([sol.x[:, :4].reshape(p_, t, 4),
+                     sol.x[:, 4:].reshape(p_, t, 4)], axis=1)
     if lam_warm is not None:
         # when predicted trajectories interpenetrate the dual problem is
         # infeasible (no separating certificate exists) — keep the previous
         # step's certificates so the local separation rows retain a
         # restoring force (the reference gets the analogous effect from
         # IPOPT's least-infeasibility return)
-        ok = sol.converged[None, :, None]
+        ok = sol.converged.reshape(p_, 1, t, 1)
         lam = jnp.where(ok, lam, lam_warm)
     return lam, sol
 
 
-def solve_collision_duals_slack(a_mat, b, min_dis: float, scfg: SolverConfig,
-                                lam_warm=None, s_warm=None):
-    """Batched slack-variant edge solve: returns ``(lam [2,T,4], s [T,2],
-    sol)``. Same warm-keep policy as :func:`solve_collision_duals`."""
+def solve_collision_duals_slack(a_pair, b_pair, min_dis: float,
+                                scfg: SolverConfig, lam_warm=None,
+                                s_warm=None):
+    """Batched slack-variant edge solve: returns ``(lam [P,2,T,4],
+    s [P,T,2], sol)``. Same warm-keep policy as
+    :func:`solve_collision_duals`."""
     nlp = _dual_slack_nlp(min_dis)
-    t = b.shape[1]
-    p = dict(a0=a_mat[0], a1=a_mat[1], b0=b[0], b1=b[1])
+    p_, t = b_pair.shape[0], b_pair.shape[2]
+    p = dict(a0=a_pair[:, 0].reshape(p_ * t, 4, 2),
+             a1=a_pair[:, 1].reshape(p_ * t, 4, 2),
+             b0=b_pair[:, 0].reshape(p_ * t, 4),
+             b1=b_pair[:, 1].reshape(p_ * t, 4))
     if lam_warm is None:
-        x0 = jnp.full((t, 10), 0.5, b.dtype)
+        x0 = jnp.full((p_ * t, 10), 0.5, b_pair.dtype)
         x0 = x0.at[:, 8:].set(0.0)
     else:
-        x0 = jnp.concatenate([lam_warm[0], lam_warm[1], s_warm], axis=-1)
+        x0 = jnp.concatenate(
+            [lam_warm[:, 0], lam_warm[:, 1], s_warm],
+            axis=-1).reshape(p_ * t, 10)
     sol = jax.vmap(lambda xx, pp: solve_nlp(nlp, xx, pp, scfg))(x0, p)
-    lam = jnp.stack([sol.x[:, :4], sol.x[:, 4:8]])
-    s = sol.x[:, 8:]
+    lam = jnp.stack([sol.x[:, :4].reshape(p_, t, 4),
+                     sol.x[:, 4:8].reshape(p_, t, 4)], axis=1)
+    s = sol.x[:, 8:].reshape(p_, t, 2)
     if lam_warm is not None:
-        ok = sol.converged[:, None]
-        lam = jnp.where(ok[None], lam, lam_warm)
+        ok = sol.converged.reshape(p_, t, 1)
+        lam = jnp.where(ok[:, None], lam, lam_warm)
         s = jnp.where(ok, s, s_warm)
     return lam, s, sol
 
@@ -141,9 +166,10 @@ def solve_collision_duals_slack(a_mat, b, min_dis: float, scfg: SolverConfig,
 class _FixedDualLocal:
     """Local tracking NLP with collision rows using FIXED duals as data.
 
-    x = [X (5N) | U (2(N-1)) | e1 (N-1) | e2 (2(N-1))]; constraint rows are
-    the (5a) separation row and the (5b) dual-feasibility coupling rows of
-    ref ``decentralized_MISC/optimizer.py:101-133`` /
+    x = [X (5N) | U (2(N-1)) | e1 (K(N-1)) | e2 (2K(N-1))]; constraint rows
+    are, per neighbour slot k, the (5a) separation row and the (5b)
+    dual-feasibility coupling rows of ref
+    ``decentralized_MISC/optimizer.py:101-133`` /
     ``decentralized_tighting/optimizer{_ori,}.py:101-126`` with the dual
     variables replaced by bar-state data. Both are elastic (l1 exact
     penalty via e1/e2 — stale bar data makes them transiently infeasible,
@@ -153,7 +179,8 @@ class _FixedDualLocal:
       * ``"other_a"`` — A(X)^T lam_self + A_other^T lam_other = 0
         (``optimizer_ori.py:119-123``, MISC ``optimizer.py:126-133``)
       * ``"slack"`` — A(X)^T lam_self + sgn * s_bar = 0 with sgn = +1 for
-        vehicle 0, -1 for vehicle 1 (``optimizer.py:121-125``)
+        the lower-indexed vehicle of the pair, -1 for the higher
+        (``optimizer.py:121-125``; the reference's vehicle 0 / vehicle 1)
     """
 
     def __init__(self, ocfg: ObcaConfig, vcfg: VehicleConfig, dtype,
@@ -163,7 +190,10 @@ class _FixedDualLocal:
         self.ocfg, self.vcfg, self.dtype = ocfg, vcfg, dtype
         self.coupling = coupling
         n = ocfg.horizon
-        self.sizes = dict(x=5 * n, u=2 * (n - 1), e1=n - 1, e2=2 * (n - 1))
+        k = ocfg.num_veh - 1
+        self.K = k
+        self.sizes = dict(x=5 * n, u=2 * (n - 1), e1=k * (n - 1),
+                          e2=2 * k * (n - 1))
         self.elastic_w = 1.0e7
         self.nlp = NLP(self._obj, self._ce, self._ci)
 
@@ -175,8 +205,8 @@ class _FixedDualLocal:
         o_e2 = o_e1 + s["e1"]
         return (x[:s["x"]].reshape(n, 5),
                 x[o_u:o_e1].reshape(n - 1, 2),
-                x[o_e1:o_e2],
-                x[o_e2:].reshape(n - 1, 2))
+                x[o_e1:o_e2].reshape(self.K, n - 1),
+                x[o_e2:].reshape(self.K, n - 1, 2))
 
     def _obj(self, x, p):
         xs, us, e1, e2 = self.split(x)
@@ -190,19 +220,20 @@ class _FixedDualLocal:
         return _dyn_residual(xs, us, p["init_state"], self.vcfg)
 
     def _raw_rows(self, xs, p):
-        """(5a) separation margin [T] and (5b) coupling residual [T, 2],
-        both gated by p["active"] (the tightening variant skips collision
-        rows at t_step == 0, optimizer_ori.py:98-99)."""
+        """(5a) separation margin [K, T] and (5b) coupling residual [K, T, 2]
+        per neighbour slot, gated by p["active"] (the tightening variant
+        skips collision rows at t_step == 0, optimizer_ori.py:98-99)."""
         a_self, b_self = halfspaces(xs[1:], self.vcfg,
                                     self.ocfg.use_delay_tightening)
-        sep = (-jnp.einsum('ti,ti->t', b_self, p["lam_self"])
-               - jnp.einsum('ti,ti->t', p["other_b"], p["lam_other"])
+        sep = (-jnp.einsum('ti,kti->kt', b_self, p["lam_self"])
+               - jnp.einsum('kti,kti->kt', p["other_b"], p["lam_other"])
                - self.ocfg.min_dis)
-        atl = jnp.einsum('tij,ti->tj', a_self, p["lam_self"])
+        atl = jnp.einsum('tij,kti->ktj', a_self, p["lam_self"])
         if self.coupling == "slack":
-            g = atl + p["sgn"] * p["s_bar"]
+            g = atl + p["sgn"][:, None, None] * p["s_bar"]
         else:
-            g = atl + jnp.einsum('tij,ti->tj', p["other_a"], p["lam_other"])
+            g = atl + jnp.einsum('ktij,kti->ktj', p["other_a"],
+                                 p["lam_other"])
         sep = jnp.where(p["active"], sep, 1.0)
         g = jnp.where(p["active"], g, 0.0)
         return sep, g
@@ -211,7 +242,7 @@ class _FixedDualLocal:
         xs, us, e1, e2 = self.split(x)
         sep, g = self._raw_rows(xs, p)
         boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
-        return jnp.concatenate([sep + e1, e1,
+        return jnp.concatenate([(sep + e1).reshape(-1), e1.reshape(-1),
                                 (e2 - g).reshape(-1), (e2 + g).reshape(-1),
                                 e2.reshape(-1), boxes])
 
@@ -221,22 +252,25 @@ class _FixedDualLocal:
             ref_win.reshape(-1),
             jnp.zeros(s["u"] + s["e1"] + s["e2"], self.dtype)])
         sep, g = self._raw_rows(ref_win, p)
-        e1 = jnp.maximum(-sep, 0.0) + 0.01
+        e1 = (jnp.maximum(-sep, 0.0) + 0.01).reshape(-1)
         e2 = (jnp.abs(g) + 0.01).reshape(-1)
         return jnp.concatenate([base[:s["x"] + s["u"]], e1, e2])
 
 
 class FixedDualState(NamedTuple):
-    """Exchange state: halfspaces + duals (ref MISC/tighting ``mid_state``).
+    """Exchange state: halfspaces + per-pair duals (ref MISC/tighting
+    ``mid_state``).
 
-    ``s`` is the separating-direction slack of the tightening slack variant
-    (ref ``decentralized_tighting/optimizer.py:311`` ``mid_state.s``); the
-    other planners carry zeros."""
+    ``lam [P, 2, T, 4]`` holds the dual pair per unordered vehicle pair
+    (side 0 = lower-indexed vehicle); ``s [P, T, 2]`` is the
+    separating-direction slack of the tightening slack variant (ref
+    ``decentralized_tighting/optimizer.py:311`` ``mid_state.s``); the other
+    planners carry zeros."""
 
-    a_mat: jnp.ndarray   # [2, T, 4, 2]
-    b: jnp.ndarray       # [2, T, 4]
-    lam: jnp.ndarray     # [2, T, 4]
-    s: jnp.ndarray       # [T, 2]
+    a_mat: jnp.ndarray   # [V, T, 4, 2]
+    b: jnp.ndarray       # [V, T, 4]
+    lam: jnp.ndarray     # [P, 2, T, 4]
+    s: jnp.ndarray       # [P, T, 2]
 
 
 class _FixedDualPlannerBase:
@@ -248,44 +282,74 @@ class _FixedDualPlannerBase:
                  scfg: SolverConfig, refs: Optional[np.ndarray],
                  dtype=jnp.float64):
         from .. import scenarios
-        if ocfg.num_veh != 2:
-            raise ValueError("2-vehicle reference formulation")
+        from ..ops.pairs import pair_indices
         self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
         self.dtype = dtype
         if refs is None:
             refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
         self.refs = jnp.asarray(refs, dtype)
+        v = ocfg.num_veh
+        self.num_veh, self.K = v, v - 1
+        # static neighbour/pair maps (shared layout with obca.Consensus)
+        self.idx_i, self.idx_j = pair_indices(v)
+        self._nbr = np.array([[j for j in range(v) if j != i]
+                              for i in range(v)])          # [V, K]
+        pid = np.zeros((v, v), dtype=np.int64)
+        side = np.zeros((v, v), dtype=np.int64)
+        for p_, (a, bb) in enumerate(zip(self.idx_i, self.idx_j)):
+            pid[a, bb] = pid[bb, a] = p_
+            side[a, bb] = 0          # a is the lower-indexed member
+            side[bb, a] = 1
+        rows = np.arange(v)[:, None]
+        self._slot_pid = pid[rows, self._nbr]              # [V, K]
+        self._slot_side = side[rows, self._nbr]            # [V, K]
         self.local = _FixedDualLocal(ocfg, vcfg, dtype, self.coupling)
         self._mpc_step = jax.jit(self._mpc_step_impl)
 
+    def _pair_halfspaces(self, a_mat, b):
+        """Gather per-vehicle halfspaces to per-pair sides:
+        ``([P, 2, T, 4, 2], [P, 2, T, 4])``."""
+        a_pair = jnp.stack([a_mat[self.idx_i], a_mat[self.idx_j]], axis=1)
+        b_pair = jnp.stack([b[self.idx_i], b[self.idx_j]], axis=1)
+        return a_pair, b_pair
+
     def create_state(self) -> FixedDualState:
         n = self.ocfg.horizon
+        p_ = len(self.idx_i)
         ref0 = self.refs[:, 1:n, :]
         a0, b0 = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
-        s0 = jnp.zeros((n - 1, 2), self.dtype)
+        a_pair, b_pair = self._pair_halfspaces(a0, b0)
+        s0 = jnp.zeros((p_, n - 1, 2), self.dtype)
         if self.coupling == "slack":
             lam, s0, _ = solve_collision_duals_slack(
-                a0, b0, self.ocfg.min_dis, self.scfg)
+                a_pair, b_pair, self.ocfg.min_dis, self.scfg)
         else:
-            lam, _ = solve_collision_duals(a0, b0, self.ocfg.min_dis,
+            lam, _ = solve_collision_duals(a_pair, b_pair, self.ocfg.min_dis,
                                            self.scfg)
         return FixedDualState(a_mat=a0, b=b0, lam=lam, s=s0)
 
     def _local_solve(self, bs: FixedDualState, init_state, ref_win, active):
+        v = self.num_veh
+        # per-vehicle neighbour-slot gathers of the pair duals:
+        # lam_self[i, k] = side of pair (i, nbr[i,k]) owned by i
+        lam_self = bs.lam[self._slot_pid, self._slot_side]     # [V, K, T, 4]
+        lam_other = bs.lam[self._slot_pid, 1 - self._slot_side]
         p = dict(init_state=init_state, ref_win=ref_win,
-                 lam_self=bs.lam, other_b=bs.b[::-1],
-                 lam_other=bs.lam[::-1],
-                 active=jnp.broadcast_to(active, (2,)))
+                 lam_self=lam_self, other_b=bs.b[self._nbr],
+                 lam_other=lam_other,
+                 active=jnp.broadcast_to(active, (v,)))
         if self.coupling == "slack":
-            p["s_bar"] = jnp.broadcast_to(bs.s, (2,) + bs.s.shape)
-            p["sgn"] = jnp.asarray([1.0, -1.0], self.dtype)
+            p["s_bar"] = bs.s[self._slot_pid]                  # [V, K, T, 2]
+            # +1 on the lower-indexed side of each pair, -1 on the higher
+            p["sgn"] = jnp.asarray(1.0 - 2.0 * self._slot_side, self.dtype)
         else:
-            p["other_a"] = bs.a_mat[::-1]
+            p["other_a"] = bs.a_mat[self._nbr]
         x0 = jax.vmap(self.local.warm)(ref_win, p)
         sol = jax.vmap(lambda xx, pp: solve_nlp(self.local.nlp, xx, pp,
                                                 self.scfg))(x0, p)
         xs, us, e1, e2 = jax.vmap(self.local.split)(sol.x)
-        e = jnp.maximum(jnp.max(e1, axis=-1), jnp.max(e2, axis=(-2, -1)))
+        e = jnp.maximum(jnp.max(e1, axis=(-2, -1)),
+                        jnp.max(e2, axis=(-3, -2, -1)))
         return xs, us, e, sol
 
     def run(self, n_steps: Optional[int] = None):
@@ -327,8 +391,9 @@ class BilevelObcaPlanner(_FixedDualPlannerBase):
                 bs, init_state, ref_win, jnp.asarray(True))
             a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
                                       self.ocfg.use_delay_tightening)
+            a_pair, b_pair = self._pair_halfspaces(a_new, b_new)
             lam, dsol = solve_collision_duals(
-                a_new, b_new, self.ocfg.min_dis, self.scfg, bs.lam)
+                a_pair, b_pair, self.ocfg.min_dis, self.scfg, bs.lam)
             bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=bs.s)
             return bs, (xs, jnp.max(e), dsol.kkt_error.max())
 
@@ -367,7 +432,8 @@ class TighteningObcaPlanner(_FixedDualPlannerBase):
         xs_shift = xs[:, shift_idx, :]
         a_new, b_new = halfspaces(xs_shift, self.vcfg,
                                   self.ocfg.use_delay_tightening)
-        lam, dsol = solve_collision_duals(a_new, b_new, self.ocfg.min_dis,
+        a_pair, b_pair = self._pair_halfspaces(a_new, b_new)
+        lam, dsol = solve_collision_duals(a_pair, b_pair, self.ocfg.min_dis,
                                           self.scfg, bs.lam)
         bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=bs.s)
         info = dict(elastic=jnp.max(e), dual_kkt=dsol.kkt_error.max())
@@ -394,8 +460,9 @@ class TighteningSlackObcaPlanner(TighteningObcaPlanner):
         xs_shift = xs[:, shift_idx, :]
         a_new, b_new = halfspaces(xs_shift, self.vcfg,
                                   self.ocfg.use_delay_tightening)
+        a_pair, b_pair = self._pair_halfspaces(a_new, b_new)
         lam, s_new, dsol = solve_collision_duals_slack(
-            a_new, b_new, self.ocfg.min_dis, self.scfg, bs.lam, bs.s)
+            a_pair, b_pair, self.ocfg.min_dis, self.scfg, bs.lam, bs.s)
         bs = FixedDualState(a_mat=a_new, b=b_new, lam=lam, s=s_new)
         info = dict(elastic=jnp.max(e), dual_kkt=dsol.kkt_error.max())
         return xs[:, 1, :], bs, info

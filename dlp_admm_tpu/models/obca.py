@@ -189,13 +189,19 @@ class CentralizedObcaPlanner:
 class BarState(NamedTuple):
     """The vehicle<->RSU exchange state (ref ``mid_state``
     ``decentralized/optimizer.py:351-373``). All tensors have leading
-    vehicle axis; under a sharded mesh this is the all-gather payload."""
+    vehicle axis; under a sharded mesh this is the all-gather payload.
 
-    z_bar: jnp.ndarray      # [V, N-1, 9] edge consensus (states + lambda)
+    ``F = 5 + 4 (V-1)`` is the per-vehicle consensus width: 5 states plus a
+    4-dual block per neighbour slot (slot k of vehicle i holds its OBCA duals
+    against neighbour ``nbr[i, k]``). For the reference's V = 2 this is the
+    9-wide Z of ``optimizer.py:250-257``.
+    """
+
+    z_bar: jnp.ndarray      # [V, N-1, F] edge consensus (states + lambda)
     a_mat: jnp.ndarray      # [V, N-1, 4, 2] broadcast halfspace normals
     b: jnp.ndarray          # [V, N-1, 4]
-    lamb_bar: jnp.ndarray   # [V, N-1, 9] ADMM duals
-    lamb_ij: jnp.ndarray    # [V, N-1, 4] collision duals used by neighbours
+    lamb_bar: jnp.ndarray   # [V, N-1, F] ADMM duals
+    lamb_ij: jnp.ndarray    # [V, V-1, N-1, 4] collision duals per nbr slot
     local_x: jnp.ndarray    # [V, N-1, 5] latest local states
 
 
@@ -211,22 +217,42 @@ _LAMB_IJ_TABLE = np.array(
 
 
 class ConsensusObcaPlanner:
-    """Consensus-ADMM OBCA planner (2 vehicles, reference semantics).
+    """Consensus-ADMM OBCA planner (the flagship), generalized to N vehicles.
 
-    Ref ``decentralized/optimizer.py`` + ``decentralized_overtaking_ADMM.py``.
+    Ref ``decentralized/optimizer.py`` + ``decentralized_overtaking_ADMM.py``
+    implement the 2-vehicle case; this class generalizes the decomposition to
+    N vehicles with a **neighbour-slot layout**: vehicle i's local NLP carries
+    a 4-wide OBCA dual block per neighbour slot k (neighbour ``nbr[i, k]``),
+    its elastic separation slacks, and the per-vehicle consensus row
+    S_i = (X_i, all dual blocks) coupled to the edge Z through the augmented
+    Lagrangian. The edge/RSU solves one consensus NLP over Z = [V, N-1, F]
+    (F = 5 + 4(V-1)) subject to the coupled pairing/separation constraints
+    (6a-c) of every unordered pair. For ``num_veh == 2`` this is exactly the
+    reference problem (slot 0 = the other vehicle, F = 9).
+
     One ADMM iteration = vmapped local NLPs -> bar-state broadcast -> edge
     consensus NLP -> dual ascent, all inside a single jitted
     ``lax.while_loop`` step (caps/thresholds from the reference:
-    50 iterations, 0.01 residuals).
+    50 iterations, 0.01 residuals). Under a sharded vehicle mesh axis the
+    local solves are embarrassingly parallel and the bar-state update is the
+    all-gather payload (SURVEY.md §2.3).
 
     ``lamb_ij_mode``: ``'frozen'`` reproduces the reference exactly (the
     neighbour-dual update at ``optimizer.py:220`` is commented out, so the
     hard-coded warm-start table is used all run); ``'track_local'`` enables
-    that commented-out update (neighbour duals follow the local solutions) —
-    the saner default for scenarios beyond the tuned overtaking case.
+    that commented-out update (neighbour duals follow the local solutions);
+    ``'track_edge'`` (default) lets neighbours plan against the consensus
+    certificates (see ``_mpc_step_impl``).
+
+    ``gate_pairs``: collision-pair gating (the ``edge_mat`` idea of
+    ``casadi/main.py:108-116`` applied to the OBCA line): pairs whose latest
+    local trajectories never come within ``gate_thres`` get their coupled
+    rows masked out of both the locals and the edge — constraints on far
+    pairs are trivially satisfiable, so masking changes nothing at the
+    optimum but removes their curvature from the Newton systems.
     """
 
-    N_STATES, N_LAM, N_FULL = 5, 4, 9
+    N_STATES, N_LAM = 5, 4
 
     def __init__(self, ocfg: ObcaConfig = ObcaConfig(),
                  vcfg: VehicleConfig = VehicleConfig(),
@@ -235,12 +261,11 @@ class ConsensusObcaPlanner:
                  lamb_ij_mode: str = "track_edge",
                  dual_cfg: Optional["DualUpdateConfig"] = None,
                  local_warm_mode: str = "previous",
+                 gate_pairs: bool = False, gate_thres: float = 10.0,
                  dtype=jnp.float64):
         from .. import scenarios
         from ..config import DualStrategy, DualUpdateConfig, WindupMode
-        if ocfg.num_veh != 2:
-            raise ValueError("consensus planner implements the 2-vehicle "
-                             "reference formulation")
+        from ..ops.pairs import pair_indices
         assert lamb_ij_mode in ("frozen", "track_local", "track_edge")
         self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
         self.lamb_ij_mode = lamb_ij_mode
@@ -259,10 +284,28 @@ class ConsensusObcaPlanner:
             strategy=DualStrategy.PLAIN, windup=WindupMode.SAT,
             windup_sat=20.0, adaptive_rho=False)
         self.dtype = dtype
+        self.gate_pairs, self.gate_thres = gate_pairs, gate_thres
         if refs is None:
             refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
         self.refs = jnp.asarray(refs, dtype)
-        n = ocfg.horizon
+        v, n = ocfg.num_veh, ocfg.horizon
+        self.num_veh = v
+        self.K = v - 1                                   # neighbour slots
+        self.N_FULL = 5 + 4 * self.K                     # consensus width F
+        # static index maps (numpy: metadata for gathers, not device data)
+        self._nbr = np.array([[j for j in range(v) if j != i]
+                              for i in range(v)])        # [V, K]
+        # rev[i, k] = slot of vehicle i in the list of its k-th neighbour
+        self._rev = np.array([[i if i < j else i - 1 for j in self._nbr[i]]
+                              for i in range(v)])        # [V, K]
+        self.idx_i, self.idx_j = pair_indices(v)          # P unordered pairs
+        self._slot_i = self.idx_j - 1   # slot of j in i's list (i < j)
+        self._slot_j = self.idx_i       # slot of i in j's list
+        # pair id of (i, nbr[i, k]) for gathering pair masks to vehicle slots
+        pid = np.zeros((v, v), dtype=np.int64)
+        for p_, (a, bb) in enumerate(zip(self.idx_i, self.idx_j)):
+            pid[a, bb] = pid[bb, a] = p_
+        self._pair_id = pid[np.arange(v)[:, None], self._nbr]   # [V, K]
         # Elastic (l1 exact penalty) slack on the LOCAL separation rows (5a):
         # with stale neighbour data the hard constraint can be transiently
         # infeasible (penetration in the predicted horizon) — the reference
@@ -276,8 +319,9 @@ class ConsensusObcaPlanner:
         # track_edge mode lambda_ij carries ||A^T lambda|| <= 1 certificates
         # (see _edge_ci adding (4c), which the reference's edge omits).
         self.elastic_w = 1.0e7
-        self._loc_sizes = dict(x=5 * n, u=2 * (n - 1), lam=4 * (n - 1),
-                               e=n - 1)
+        self._loc_sizes = dict(x=5 * n, u=2 * (n - 1),
+                               lam=self.K * 4 * (n - 1),
+                               e=self.K * (n - 1))
         self._local_nlp = NLP(self._local_obj, self._local_ce, self._local_ci)
         self._edge_nlp = NLP(self._edge_obj, self._edge_ce, self._edge_ci)
         self._mpc_step = jax.jit(self._mpc_step_impl)
@@ -292,9 +336,15 @@ class ConsensusObcaPlanner:
         o3 = o2 + s["lam"]
         xs = x[:o1].reshape(n, 5)
         us = x[o1:o2].reshape(n - 1, 2)
-        lam = x[o2:o3].reshape(n - 1, 4)
-        e = x[o3:]
+        lam = x[o2:o3].reshape(self.K, n - 1, 4)
+        e = x[o3:].reshape(self.K, n - 1)
         return xs, us, lam, e
+
+    def _s_full(self, xs, lam):
+        """Consensus row S = (X_t, lambda blocks) per step: [N-1, F]."""
+        n = self.ocfg.horizon
+        lam_flat = jnp.moveaxis(lam, 0, 1).reshape(n - 1, 4 * self.K)
+        return jnp.concatenate([xs[1:], lam_flat], axis=-1)
 
     def _local_obj(self, x, p):
         """Tracking + effort + AL (ref ``local_generate_object``
@@ -304,42 +354,51 @@ class ConsensusObcaPlanner:
         err = xs[1:] - p["ref_win"][1:]
         obj = (self.ocfg.r_ctrl * jnp.sum(us ** 2)
                + self.ocfg.q_state * jnp.sum(err ** 2))
-        s_full = jnp.concatenate([xs[1:], lam], axis=-1)       # [N-1, 9]
+        s_full = self._s_full(xs, lam)                         # [N-1, F]
         obj += jnp.sum(p["lamb_bar"] * s_full)
         obj += p["rho"] / 2 * jnp.sum((s_full - p["z_bar"]) ** 2)
         obj += self.elastic_w * jnp.sum(e)
         return obj
 
     def _local_ce(self, x, p):
-        """Init + dynamics + (5b) pairing equalities
+        """Init + dynamics + (5b) pairing equalities per neighbour slot
         (ref ``local_generate_constrain`` ``optimizer.py:84-124``)."""
         xs, us, lam, _ = self._loc_split(x)
         dyn = _dyn_residual(xs, us, p["init_state"], self.vcfg)
         a_self, _ = halfspaces(xs[1:], self.vcfg,
                                self.ocfg.use_delay_tightening)
-        at_l = jnp.einsum('tij,ti->tj', a_self, lam)
-        other = jnp.einsum('tij,ti->tj', p["other_a"], p["other_lij"])
-        return jnp.concatenate([dyn, (at_l + other).reshape(-1)])
+        at_l = jnp.einsum('tij,kti->ktj', a_self, lam)          # [K, N-1, 2]
+        other = jnp.einsum('ktij,kti->ktj', p["other_a"], p["other_lij"])
+        pairing = p["mask"][:, None, None] * (at_l + other)
+        return jnp.concatenate([dyn, pairing.reshape(-1)])
 
     def _local_ci(self, x, p):
-        """(5a) separation (elastic), (4c) dual norm, lambda >= 0, e >= 0,
-        boxes."""
+        """(5a) separation (elastic) per slot, (4c) dual norm, lambda >= 0,
+        e >= 0, boxes. Masked-out slots get trivially-satisfied rows."""
         xs, us, lam, e = self._loc_split(x)
         a_self, b_self = halfspaces(xs[1:], self.vcfg,
                                     self.ocfg.use_delay_tightening)
-        sep = (-jnp.einsum('ti,ti->t', b_self, lam)
-               - jnp.einsum('ti,ti->t', p["other_b"], p["other_lij"])
+        sep = (-jnp.einsum('ti,kti->kt', b_self, lam)
+               - jnp.einsum('kti,kti->kt', p["other_b"], p["other_lij"])
                - self.ocfg.min_dis + e)
-        at_l = jnp.einsum('tij,ti->tj', a_self, lam)
-        nrm = 1.0 - jnp.sum(at_l ** 2, axis=-1)
+        sep = p["mask"][:, None] * sep + (1.0 - p["mask"][:, None])
+        at_l = jnp.einsum('tij,kti->ktj', a_self, lam)
+        nrm = 1.0 - jnp.sum(at_l ** 2, axis=-1)                 # [K, N-1]
         boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
-        return jnp.concatenate([sep, nrm, lam.reshape(-1), e, boxes])
+        return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
+                                lam.reshape(-1), e.reshape(-1), boxes])
 
     # -- edge problem (ref optimizer.py:239-328) -------------------------
 
     def _edge_split(self, x):
         n = self.ocfg.horizon
-        return x.reshape(2, n - 1, self.N_FULL)
+        return x.reshape(self.num_veh, n - 1, self.N_FULL)
+
+    def _edge_lam(self, z):
+        """Per-vehicle per-slot duals from the consensus row: [V, K, N-1, 4]."""
+        n = self.ocfg.horizon
+        lam = z[:, :, 5:].reshape(self.num_veh, n - 1, self.K, 4)
+        return jnp.moveaxis(lam, 1, 2)
 
     def _edge_obj(self, x, p):
         """obj = -sum_i Z_i lamb_bar_i + rho/2 sum_i ||local_fullx_i - Z_i||^2
@@ -359,15 +418,19 @@ class ConsensusObcaPlanner:
                           self.ocfg.use_delay_tightening)
 
     def _edge_ce(self, x, p):
-        """(6b): A(z_1)^T l_1 + A(z_2)^T l_2 = 0
+        """(6b): A(z_i)^T l_i^(j) + A(z_j)^T l_j^(i) = 0 per unordered pair
         (ref ``edge_generate_constrain`` ``optimizer.py:259-279``)."""
         z = self._edge_split(x)
         a_mat, _ = self._edge_halfspaces(z)
-        at_l = jnp.einsum('vtij,vti->vtj', a_mat, z[:, :, 5:])
-        return (at_l[0] + at_l[1]).reshape(-1)
+        lam = self._edge_lam(z)                                # [V, K, N-1, 4]
+        at_l = jnp.einsum('vtij,vkti->vktj', a_mat, lam)       # [V, K, N-1, 2]
+        rows = (at_l[self.idx_i, self._slot_i]
+                + at_l[self.idx_j, self._slot_j])              # [P, N-1, 2]
+        rows = p["pair_mask"][:, None, None] * rows
+        return rows.reshape(-1)
 
     def _edge_ci(self, x, p):
-        """(6c) separation >= min_dis (hard); (4c) dual-norm bound;
+        """(6c) separation >= min_dis per pair (hard); (4c) dual-norm bound;
         z-state box; lambda >= 0.
 
         The reference's edge omits the (4c) norm bound (``optimizer.py:
@@ -376,17 +439,39 @@ class ConsensusObcaPlanner:
         in the locals' hard (5b) + (4c) constraints (track_edge mode)."""
         z = self._edge_split(x)
         a_mat, b = self._edge_halfspaces(z)
-        bl = jnp.einsum('vti,vti->vt', b, z[:, :, 5:])
-        sep = -bl[0] - bl[1] - self.ocfg.min_dis
-        at_l = jnp.einsum('vtij,vti->vtj', a_mat, z[:, :, 5:])
-        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)  # [2, N-1]
+        lam = self._edge_lam(z)
+        bl = jnp.einsum('vti,vkti->vkt', b, lam)               # [V, K, N-1]
+        sep = (-bl[self.idx_i, self._slot_i]
+               - bl[self.idx_j, self._slot_j] - self.ocfg.min_dis)
+        sep = p["pair_mask"][:, None] * sep + (1.0 - p["pair_mask"][:, None])
+        at_l = jnp.einsum('vtij,vkti->vktj', a_mat, lam)
+        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)          # [V, K, N-1]
         zs = z[:, :, :5]
         box = jnp.concatenate([(zs + 1000.0).reshape(-1),
                                (1000.0 - zs).reshape(-1)])
-        return jnp.concatenate([sep, nrm.reshape(-1),
+        return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
                                 z[:, :, 5:].reshape(-1), box])
 
     # -- bar-state plumbing ----------------------------------------------
+
+    def _facing_certificates(self, ref0):
+        """Unit-weight facing-face separating duals per (vehicle, slot):
+        [V, K, N-1, 4], scaled to norm 0.95 (see ``create_bar_state``)."""
+        d = self.dtype
+        a0, _ = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
+        pos = ref0[:, :, :2]                                   # [V, N-1, 2]
+        c_dir = pos[self._nbr] - pos[:, None]                  # [V, K, N-1, 2]
+        c_dir = c_dir / jnp.maximum(
+            jnp.linalg.norm(c_dir, axis=-1, keepdims=True), 1e-9)
+        align = jnp.einsum('vtij,vktj->vkti', a0, c_dir)       # [V, K, N-1, 4]
+        return 0.95 * jax.nn.one_hot(jnp.argmax(align, -1), 4, dtype=d)
+
+    def _zip_z(self, local_x, lamb_ij):
+        """Pack (states [V, N-1, 5], duals [V, K, N-1, 4]) into Z [V, N-1, F]."""
+        n = self.ocfg.horizon
+        lam_flat = jnp.moveaxis(lamb_ij, 1, 2).reshape(
+            self.num_veh, n - 1, 4 * self.K)
+        return jnp.concatenate([local_x, lam_flat], axis=-1)
 
     def create_bar_state(self) -> BarState:
         """Initial exchange state.
@@ -399,9 +484,9 @@ class ConsensusObcaPlanner:
         window — the state every vehicle already knows — so iteration 1 is
         well-posed (documented deviation; converged behavior is unchanged).
         """
-        n = self.ocfg.horizon
+        v, n = self.num_veh, self.ocfg.horizon
         d = self.dtype
-        ref0 = self.refs[:, 1:n, :]                      # [2, N-1, 5]
+        ref0 = self.refs[:, 1:n, :]                      # [V, N-1, 5]
         a0, b0 = halfspaces(ref0, self.vcfg, self.ocfg.use_delay_tightening)
         if self.lamb_ij_mode == "track_edge":
             # proper facing-face certificates from the initial geometry: unit
@@ -410,42 +495,55 @@ class ConsensusObcaPlanner:
             # for the aligned reference states. (The reference instead ships
             # a hard-coded table, optimizer.py:357-371, whose degenerate
             # second column makes the first local solves infeasible.)
-            c_dir = ref0[1, :, :2] - ref0[0, :, :2]
-            c_dir = c_dir / jnp.linalg.norm(c_dir, axis=-1, keepdims=True)
-            align0 = jnp.einsum('tij,tj->ti', a0[0], c_dir)     # [N-1, 4]
-            align1 = jnp.einsum('tij,tj->ti', a0[1], -c_dir)
-            # scaled to norm 0.95: certificates at the (4c) boundary
+            # Scaled to norm 0.95: certificates at the (4c) boundary
             # ||A^T lam|| = 1 would leave the local problem with an empty
             # strict interior (5b forces the norm exactly), which an
-            # interior-point method cannot handle
-            lamb_ij = 0.95 * jnp.stack([
-                jax.nn.one_hot(jnp.argmax(align0, -1), 4, dtype=d),
-                jax.nn.one_hot(jnp.argmax(align1, -1), 4, dtype=d)])
-        elif n == 8:
-            lamb_ij = jnp.asarray(_LAMB_IJ_TABLE, d)
+            # interior-point method cannot handle.
+            lamb_ij = self._facing_certificates(ref0)
+        elif v == 2 and n == 8:
+            lamb_ij = jnp.asarray(_LAMB_IJ_TABLE, d)[:, None]
         else:
-            lamb_ij = 1e-3 * jnp.ones((2, n - 1, 4), d)
+            lamb_ij = 1e-3 * jnp.ones((v, self.K, n - 1, 4), d)
         return BarState(
-            z_bar=jnp.concatenate([ref0, lamb_ij], axis=-1),
+            z_bar=self._zip_z(ref0, lamb_ij),
             a_mat=a0,
             b=b0,
-            lamb_bar=1e-3 * jnp.ones((2, n - 1, 9), d),
+            lamb_bar=1e-3 * jnp.ones((v, n - 1, self.N_FULL), d),
             lamb_ij=lamb_ij,
             local_x=ref0)
 
     def shift_bar_state(self, bs: BarState) -> BarState:
         """Horizon warm-start shift (ref ``iterate_next_state``
         ``optimizer.py:337-344``): drop step 0, duplicate the tail."""
-        shift = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
-        return BarState(*(shift(f) for f in bs))
+        def shift(a, axis):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(1, None)
+            tail = [slice(None)] * a.ndim
+            tail[axis] = slice(-1, None)
+            return jnp.concatenate([a[tuple(sl)], a[tuple(tail)]], axis=axis)
+        return BarState(
+            z_bar=shift(bs.z_bar, 1), a_mat=shift(bs.a_mat, 1),
+            b=shift(bs.b, 1), lamb_bar=shift(bs.lamb_bar, 1),
+            lamb_ij=shift(bs.lamb_ij, 2), local_x=shift(bs.local_x, 1))
+
+    def _pair_proximity_mask(self, local_x):
+        """[P] activity mask: pair within ``gate_thres`` anywhere in horizon."""
+        pos = local_x[:, :, :2]
+        di = pos[self.idx_i] - pos[self.idx_j]                 # [P, N-1, 2]
+        d2 = jnp.sum(di ** 2, axis=-1)
+        if not self.gate_pairs:
+            return jnp.ones((len(self.idx_i),), self.dtype)
+        return jnp.any(d2 < self.gate_thres ** 2, axis=-1).astype(self.dtype)
 
     def check_converge(self, bs: BarState, thres: float = 0.1):
         """Coupled-constraint satisfaction on the exchanged solution
-        (ref ``check_converge`` ``optimizer.py:225-235``)."""
-        at_l = jnp.einsum('vtij,vti->vtj', bs.a_mat, bs.lamb_ij)
-        eq = at_l[0] + at_l[1]
-        bl = jnp.einsum('vti,vti->vt', bs.b, bs.lamb_ij)
-        sep = -bl[0] - bl[1]
+        (ref ``check_converge`` ``optimizer.py:225-235``), all pairs."""
+        at_l = jnp.einsum('vtij,vkti->vktj', bs.a_mat, bs.lamb_ij)
+        eq = (at_l[self.idx_i, self._slot_i]
+              + at_l[self.idx_j, self._slot_j])                # [P, N-1, 2]
+        bl = jnp.einsum('vti,vkti->vkt', bs.b, bs.lamb_ij)
+        sep = (-bl[self.idx_i, self._slot_i]
+               - bl[self.idx_j, self._slot_j])                 # [P, N-1]
         return jnp.logical_and(jnp.all(jnp.abs(eq) <= thres),
                                jnp.all(sep >= self.ocfg.min_dis))
 
@@ -457,36 +555,53 @@ class ConsensusObcaPlanner:
         to the actual separation violation so the start point is feasible —
         a feasible interior start is what keeps the fixed-budget IP fast."""
         n = self.ocfg.horizon
+        v = self.num_veh
         s = self._loc_sizes
         base = jnp.concatenate([
-            ref_win.reshape(2, -1),
-            jnp.zeros((2, s["u"]), self.dtype),
-            jnp.ones((2, s["lam"]), self.dtype),
-            jnp.zeros((2, s["e"]), self.dtype)], axis=1)
+            ref_win.reshape(v, -1),
+            jnp.zeros((v, s["u"]), self.dtype),
+            jnp.ones((v, s["lam"]), self.dtype),
+            jnp.zeros((v, s["e"]), self.dtype)], axis=1)
 
         def fix_e(x0, p_i):
-            sep = self._local_ci(x0, p_i)[:n - 1]
+            sep = self._local_ci(x0, p_i)[:s["e"]]
             e = jnp.maximum(-sep, 0.0) + 0.01
             return x0.at[-s["e"]:].set(e)
 
         return jax.vmap(fix_e)(base, p)
 
+    def _local_params(self, bs: BarState, init_state, ref_win, rho, mask_veh):
+        """Per-vehicle parameter pytree for the vmapped local solves.
+
+        The neighbour gathers (``a_mat[nbr]``, ``lamb_ij[nbr, rev]``) are the
+        TPU form of the reference's bar-state reads (``optimizer.py:107-118``):
+        under a sharded vehicle axis they lower to the all-gather of the
+        broadcast payload."""
+        v = self.num_veh
+        return dict(init_state=init_state,
+                    ref_win=ref_win,
+                    other_a=bs.a_mat[self._nbr],               # [V, K, ...]
+                    other_b=bs.b[self._nbr],
+                    other_lij=bs.lamb_ij[self._nbr, self._rev],
+                    z_bar=bs.z_bar,
+                    lamb_bar=bs.lamb_bar,
+                    mask=mask_veh,
+                    rho=jnp.broadcast_to(rho, (v,)))
+
     def _mpc_step_impl(self, init_state, bar_state_prev: BarState, step_idx):
         ocfg = self.ocfg
-        n = ocfg.horizon
+        v, n = self.num_veh, ocfg.horizon
         ref_win = jax.lax.dynamic_slice_in_dim(
-            self.refs, step_idx, n, axis=1)               # [2, N, 5]
+            self.refs, step_idx, n, axis=1)               # [V, N, 5]
         rho = jnp.asarray(ocfg.rho, self.dtype)
 
-        def local_solve(bs: BarState, x_prev):
-            p = dict(init_state=init_state,
-                     ref_win=ref_win,
-                     other_a=bs.a_mat[::-1],
-                     other_b=bs.b[::-1],
-                     other_lij=bs.lamb_ij[::-1],
-                     z_bar=bs.z_bar,
-                     lamb_bar=bs.lamb_bar,
-                     rho=jnp.broadcast_to(rho, (2,)))
+        def masks_from(bs):
+            pair_mask = self._pair_proximity_mask(bs.local_x)
+            mask_veh = pair_mask[self._pair_id]            # [V, K]
+            return pair_mask, mask_veh
+
+        def local_solve(bs: BarState, x_prev, mask_veh):
+            p = self._local_params(bs, init_state, ref_win, rho, mask_veh)
             if self.local_warm_mode == "previous":
                 x0 = x_prev
             else:
@@ -500,7 +615,8 @@ class ConsensusObcaPlanner:
 
         def body(c):
             bs = c["bs"]
-            xs, us, lam, sol = local_solve(bs, c["loc_x"])
+            pair_mask, mask_veh = masks_from(bs)
+            xs, us, lam, sol = local_solve(bs, c["loc_x"], mask_veh)
             # bar_state_update (ref optimizer.py:205-222): broadcast
             # recomputed halfspaces + local states; lamb_ij per mode
             a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
@@ -511,12 +627,12 @@ class ConsensusObcaPlanner:
 
             # edge solve (ref optimizer.py:309-328). The reference inits the
             # edge NLP at zeros (edge_initialize :250) and relies on IPOPT's
-            # robustness; we warm-start at the AL target local_fullx, which
-            # is the unconstrained z-minimizer up to lamb_bar/rho — same
-            # optimum, far better conditioned for the fixed-budget solver.
-            local_fullx = jnp.concatenate([bs.local_x, bs.lamb_ij], axis=-1)
-            pe = dict(lamb_bar=bs.lamb_bar, local_fullx=local_fullx, rho=rho)
-            # warm-start z at the previous consensus iterate (smooth path)
+            # robustness; we warm-start z at the previous consensus iterate
+            # (smooth path), far better conditioned for the fixed-budget
+            # solver — same optimum.
+            local_fullx = self._zip_z(bs.local_x, bs.lamb_ij)
+            pe = dict(lamb_bar=bs.lamb_bar, local_fullx=local_fullx, rho=rho,
+                      pair_mask=pair_mask)
             esol = solve_nlp(self._edge_nlp, bs.z_bar.reshape(-1), pe,
                              self.scfg)
             z_bar = self._edge_split(esol.x)
@@ -529,13 +645,14 @@ class ConsensusObcaPlanner:
                 # (A^T lam = 0 rays give state-independent values and hence
                 # zero avoidance force). Default mode; 'frozen'/'track_local'
                 # reproduce the reference's exchanges.
-                bs = bs._replace(lamb_ij=z_bar[:, :, 5:])
+                bs = bs._replace(lamb_ij=self._edge_lam(z_bar))
 
             # dual update on lamb_bar (ref lambda_update optimizer.py:330-335
             # is plain ascent, rho = 1; strategy/windup configurable — see
             # constructor): consensus error r = local_fullx - z_bar
+            pos = bs.local_x[:, :, :2]
             d_min = jnp.min(jnp.linalg.norm(
-                bs.local_x[0, :, :2] - bs.local_x[1, :, :2], axis=-1))
+                pos[self.idx_i] - pos[self.idx_j], axis=-1))
             dual_new = update_dual(
                 DualState(dual=bs.lamb_bar, sum_err=c["sum_err"],
                           diff_val=c["diff_val"], rho=rho),
@@ -557,20 +674,16 @@ class ConsensusObcaPlanner:
             return jnp.logical_and(jnp.logical_not(c["done"]),
                                    c["it"] < ocfg.max_admm_iters)
 
-        zeros9 = jnp.zeros((2, n - 1, 9), self.dtype)
-        p_init = dict(init_state=init_state, ref_win=ref_win,
-                      other_a=bar_state_prev.a_mat[::-1],
-                      other_b=bar_state_prev.b[::-1],
-                      other_lij=bar_state_prev.lamb_ij[::-1],
-                      z_bar=bar_state_prev.z_bar,
-                      lamb_bar=bar_state_prev.lamb_bar,
-                      rho=jnp.broadcast_to(rho, (2,)))
+        zeros_f = jnp.zeros((v, n - 1, self.N_FULL), self.dtype)
+        _, mask_veh0 = masks_from(bar_state_prev)
+        p_init = self._local_params(bar_state_prev, init_state, ref_win, rho,
+                                    mask_veh0)
         c0 = dict(bs=bar_state_prev,
-                  us_prev=jnp.zeros((2, n - 1, 2), self.dtype),
+                  us_prev=jnp.zeros((v, n - 1, 2), self.dtype),
                   lamb_prev=bar_state_prev.lamb_bar,
-                  xs=jnp.broadcast_to(ref_win, (2, n, 5)),
+                  xs=jnp.broadcast_to(ref_win, (v, n, 5)),
                   loc_x=self._local_warm(ref_win, p_init),
-                  sum_err=zeros9, diff_val=zeros9,
+                  sum_err=zeros_f, diff_val=zeros_f,
                   it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
                   primal=jnp.asarray(jnp.inf, self.dtype),
                   dual=jnp.asarray(jnp.inf, self.dtype))

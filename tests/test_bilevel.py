@@ -27,8 +27,9 @@ class TestCollisionDuals:
         s1 = jnp.asarray(straight_states(10.0, 10.0, 5)[None])
         states = jnp.concatenate([s0, s1], axis=0)
         a_mat, b = halfspaces(states)
-        lam, sol = solve_collision_duals(a_mat, b, 1.0, SCFG)
+        lam, sol = solve_collision_duals(a_mat[None], b[None], 1.0, SCFG)
         assert bool(np.all(np.asarray(sol.converged)))
+        lam = lam[0]                     # single pair
         val = -(np.einsum('ti,ti->t', np.asarray(b[0]), np.asarray(lam[0]))
                 + np.einsum('ti,ti->t', np.asarray(b[1]),
                             np.asarray(lam[1])))
@@ -44,8 +45,10 @@ class TestCollisionDuals:
         s1 = jnp.asarray(straight_states(10.0, 10.0, 5)[None])
         states = jnp.concatenate([s0, s1], axis=0)
         a_mat, b = halfspaces(states)
-        lam, s, sol = solve_collision_duals_slack(a_mat, b, 1.0, SCFG)
+        lam, s, sol = solve_collision_duals_slack(a_mat[None], b[None], 1.0,
+                                                  SCFG)
         assert bool(np.all(np.asarray(sol.converged)))
+        lam, s = lam[0], s[0]            # single pair
         val = -(np.einsum('ti,ti->t', np.asarray(b[0]), np.asarray(lam[0]))
                 + np.einsum('ti,ti->t', np.asarray(b[1]),
                             np.asarray(lam[1])))
@@ -63,8 +66,9 @@ class TestCollisionDuals:
         s1 = jnp.asarray(straight_states(1.0, 10.0, 3)[None])  # overlapping
         states = jnp.concatenate([s0, s1], axis=0)
         a_mat, b = halfspaces(states)
-        warm = jnp.full((2, 3, 4), 0.123)
-        lam, sol = solve_collision_duals(a_mat, b, 1.0, SCFG, lam_warm=warm)
+        warm = jnp.full((1, 2, 3, 4), 0.123)
+        lam, sol = solve_collision_duals(a_mat[None], b[None], 1.0, SCFG,
+                                         lam_warm=warm)
         assert not bool(np.any(np.asarray(sol.converged)))
         np.testing.assert_allclose(np.asarray(lam), 0.123)
 

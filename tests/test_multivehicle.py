@@ -47,3 +47,58 @@ class TestSixteenVehicles:
         rb = b.run(xt0=xt0, n_steps=4)
         np.testing.assert_allclose(np.asarray(ra.xt), np.asarray(rb.xt),
                                    atol=1e-12)
+
+
+class TestConsensusMultiVehicle:
+    """N > 2 generalization of the consensus-ADMM flagship (neighbour-slot
+    layout): two overtaking pairs in adjacent lanes with pair gating."""
+
+    def test_four_vehicle_two_lane_overtake(self):
+        from dlp_admm_tpu.config import ObcaConfig
+        from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
+        pl = ConsensusObcaPlanner(
+            ObcaConfig(num_veh=4, horizon=8, min_dis=0.1, max_admm_iters=5,
+                       rho=100.0),
+            scfg=SolverConfig(ip_iters=40, ip_tol=1e-6),
+            gate_pairs=True, gate_thres=12.0)
+        states, iters, res, flags = pl.run(n_steps=4)
+        assert np.all(np.isfinite(states))
+        # lanes 0 and 6: each fast vehicle tracks its 20 m/s ref at the start
+        np.testing.assert_allclose(states[:, 0, 0], 2.0 * np.arange(5),
+                                   atol=0.5)
+        np.testing.assert_allclose(states[:, 2, 0], 2.0 * np.arange(5),
+                                   atol=0.5)
+        # vehicles stay near their lanes
+        lane_y = np.array([0.0, 0.0, 6.0, 6.0])
+        assert np.abs(states[:, :, 1] - lane_y[None]).max() < 2.0
+        # in-lane partners keep centre separation
+        for a, b in [(0, 1), (2, 3)]:
+            d = np.linalg.norm(states[:, a, :2] - states[:, b, :2], axis=-1)
+            assert d.min() > 2.0
+
+    def test_v2_neighbour_maps_match_reference_reversal(self):
+        """For V = 2 the slot gathers must equal the reference's [::-1]."""
+        from dlp_admm_tpu.config import ObcaConfig
+        from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
+        pl = ConsensusObcaPlanner(ObcaConfig(horizon=8))
+        bs = pl.create_bar_state()
+        other = bs.lamb_ij[pl._nbr, pl._rev]        # [2, 1, N-1, 4]
+        np.testing.assert_allclose(np.asarray(other[:, 0]),
+                                   np.asarray(bs.lamb_ij[::-1, 0]))
+        assert pl.N_FULL == 9 and pl.K == 1
+
+    def test_four_vehicle_tightening(self):
+        """N > 2 fixed-dual family: per-pair dual QCQPs batched over
+        (pair, timestep); 4 vehicles in two overtaking lanes."""
+        from dlp_admm_tpu.config import ObcaConfig
+        from dlp_admm_tpu.models.bilevel import TighteningObcaPlanner
+        pl = TighteningObcaPlanner(
+            ObcaConfig(num_veh=4, horizon=8, min_dis=1.0),
+            scfg=SolverConfig(ip_iters=40, ip_tol=1e-6))
+        states, infos = pl.run(n_steps=10)
+        assert np.all(np.isfinite(states))
+        lane_y = np.array([0.0, 0.0, 6.0, 6.0])
+        assert np.abs(states[:, :, 1] - lane_y[None]).max() < 2.0
+        for a, b in [(0, 1), (2, 3)]:
+            d = np.linalg.norm(states[:, a, :2] - states[:, b, :2], axis=-1)
+            assert d.min() > 3.5

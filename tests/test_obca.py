@@ -88,14 +88,14 @@ class TestConsensus:
                                  np.zeros(7), np.zeros(7), np.zeros(7)],
                                 axis=-1)])
         a_mat, b = halfspaces(jnp.asarray(x0), pl.vcfg, False)
-        lamb = np.zeros((2, 7, 4))
+        lamb = np.zeros((2, 1, 7, 4))     # [V, slots, N-1, 4]
         # veh0: weight on its +x face; veh1: weight on its -x face
         for v, direction in [(0, np.array([1.0, 0])),
                              (1, np.array([-1.0, 0]))]:
             rows = np.argmax(np.einsum('tij,j->ti', np.asarray(a_mat[v]),
                                        direction), axis=-1)
             for t, r in enumerate(rows):
-                lamb[v, t, r] = 1.0
+                lamb[v, 0, t, r] = 1.0
         bs = bs._replace(a_mat=a_mat, b=b, lamb_ij=jnp.asarray(lamb))
         assert bool(pl.check_converge(bs))
         # shrink the gap below min_dis: fails
