@@ -210,6 +210,11 @@ class SolverConfig:
     # via Cholesky (use for ill-conditioned / non-planner QPs)
     qp_kkt: str = "ns"
     qp_ns_iters: int = 18
+    # number of iteration segments: rho is adapted and the KKT inverse
+    # Newton-Schulz-refreshed between segments; residuals are only checked at
+    # segment boundaries. More segments = better rho adaptation, fewer = less
+    # refresh cost (each refresh is 16 batched [n,n] matmuls).
+    qp_segments: int = 4
     # fuse each iteration segment into one Pallas TPU kernel (see
     # solvers/qp_pallas.py); `interpret` runs the kernel in interpreter mode
     # for CPU testing

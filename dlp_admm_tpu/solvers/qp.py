@@ -191,7 +191,7 @@ def _solve_qp_f32(p_mat, q, a_mat, lo, hi, cfg, x0, y0) -> QPSolution:
     eye_n = jnp.eye(n, dtype=dtype)
     ata = as_.T @ as_
 
-    n_segments = 4
+    n_segments = cfg.qp_segments
     seg_len = max(cfg.qp_iters // n_segments, 1)
 
     def unscaled_residuals(x, z, y):
