@@ -42,7 +42,8 @@ def main():
                        stop_needs_clearance=False)
     refs, xt0 = pi_admm_overtake_refs(cfg)
     eng = PiAdmmEngine(cfg, DualUpdateConfig(),
-                       SolverConfig(qp_iters=40, qp_tol=1e-4, qp_segments=2, qp_ns_iters=14),
+                       SolverConfig(qp_iters=16, qp_tol=1e-4, qp_segments=1,
+                                    qp_ns_iters=10, qp_unroll=16),
                        layout="pairwise", refs=refs, n_sqp=1, pair_budget=24,
                        dtype=jnp.float32)
 

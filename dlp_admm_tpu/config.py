@@ -215,6 +215,11 @@ class SolverConfig:
     # segment boundaries. More segments = better rho adaptation, fewer = less
     # refresh cost (each refresh is 16 batched [n,n] matmuls).
     qp_segments: int = 4
+    # unroll factor of the splitting-iteration scan: the loop body is a
+    # handful of tiny matvecs, so per-op dispatch latency (not FLOPs/HBM)
+    # dominates on TPU at planner batch sizes; unrolling lets XLA fuse the
+    # elementwise chains across iterations
+    qp_unroll: int = 1
     # fuse each iteration segment into one Pallas TPU kernel (see
     # solvers/qp_pallas.py); `interpret` runs the kernel in interpreter mode
     # for CPU testing

@@ -64,16 +64,46 @@ def _local_affine(xt_i, spd_i, horizon, dt, wheel_base):
     return roll(zero), jax.jacfwd(roll)(zero)
 
 
-def _edge_affine(xt_i, spd_i, u0_i, dt, wheel_base):
-    """First-order model of the *nonlinear* edge rollout at u0 (the SQP
-    linearization replacing IPOPT's internal handling of
-    ``dynamic_update_edge``, ref ``PI_ADMM_class.py:77-105``)."""
+def _edge_affine_ad(xt_i, spd_i, u0_i, dt, wheel_base):
+    """AD reference for :func:`_edge_affine` (kept for tests)."""
 
     def roll(u):
         x, y, _ = unicycle_rollout_edge(xt_i, u, spd_i, dt, wheel_base)
         return jnp.concatenate([x, y])
 
     return roll(u0_i), jax.jacfwd(roll)(u0_i)
+
+
+def _edge_affine(xt_i, spd_i, u0_i, dt, wheel_base):
+    """First-order model of the *nonlinear* edge rollout at u0 (the SQP
+    linearization replacing IPOPT's internal handling of
+    ``dynamic_update_edge``, ref ``PI_ADMM_class.py:77-105``).
+
+    Closed form instead of ``jacfwd`` over the scan (which costs H forward
+    tangents): the edge model is exactly ``x_+ = x + dt v cos(th)``,
+    ``th_+ = th + (dt v / L) u`` — the reference's "relinearized" RHS
+    ``-v sin(th) th + v cos(th) + v th sin(th)`` simplifies to ``v cos(th)``
+    — so ``th_k`` is *linear* in u and
+
+        d x_k / d u_m = -(dt^2 v^2 / L) * sum_{j=m+1}^{k-1} sin(th_j)
+
+    i.e. masked differences of sin/cos cumulative sums along the rolled-out
+    headings. One rollout + O(H^2) elementwise ops, no AD pass.
+    """
+    h = u0_i.shape[0]
+    x, y, th = unicycle_rollout_edge(xt_i, u0_i, spd_i, dt, wheel_base)
+    pose0 = jnp.concatenate([x, y])
+    c = dt * dt * spd_i * spd_i / wheel_base
+    # S[k] = sum_{j<k} sin(th_j), k = 0..H (th_j for j = 0..H-1)
+    zero = jnp.zeros((1,), th.dtype)
+    s_cum = jnp.concatenate([zero, jnp.cumsum(jnp.sin(th[:-1]))])
+    c_cum = jnp.concatenate([zero, jnp.cumsum(jnp.cos(th[:-1]))])
+    k = jnp.arange(h + 1)[:, None]
+    m = jnp.arange(h)[None, :]
+    mask = (k >= m + 2).astype(th.dtype)
+    bx = -c * (s_cum[k] - s_cum[m + 1]) * mask
+    by = c * (c_cum[k] - c_cum[m + 1]) * mask
+    return pose0, jnp.concatenate([bx, by], axis=0)
 
 
 # %% local (vehicle-side) QP --------------------------------------------------

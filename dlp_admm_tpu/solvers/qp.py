@@ -247,7 +247,8 @@ def _solve_qp_f32(p_mat, q, a_mat, lo, hi, cfg, x0, y0) -> QPSolution:
                 return (x_new, z_new, y_new), None
 
             (x_new, z_new, y_new), _ = jax.lax.scan(
-                step, (x, z, y), None, length=seg_len)
+                step, (x, z, y), None, length=seg_len,
+                unroll=min(cfg.qp_unroll, seg_len))
             keep = lambda new, old: jnp.where(done, old, new)
             x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
             prim, dual = unscaled_residuals(x, z, y)

@@ -113,3 +113,20 @@ class TestPairwiseEngine:
         rec = eng.run(xt0=xt0, n_steps=5)
         assert np.all(np.isfinite(rec.xt))
         assert rec.xt.shape == (5, 3, 3)
+
+
+class TestEdgeAffine:
+    def test_closed_form_matches_ad(self):
+        """The cumsum-based edge Jacobian equals jacfwd of the rollout."""
+        from dlp_admm_tpu.models.pi_admm import _edge_affine, _edge_affine_ad
+        rng = np.random.default_rng(3)
+        for _ in range(4):
+            xt = jnp.asarray(rng.normal(size=3))
+            u0 = jnp.asarray(0.3 * rng.normal(size=12))
+            spd = jnp.asarray(float(rng.uniform(2.0, 9.0)))
+            p0, b = _edge_affine(xt, spd, u0, 0.1, 1.0)
+            p0_ad, b_ad = _edge_affine_ad(xt, spd, u0, 0.1, 1.0)
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p0_ad),
+                                       rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(b_ad),
+                                       rtol=1e-8, atol=1e-10)
