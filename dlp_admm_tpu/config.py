@@ -120,6 +120,10 @@ class DualUpdateConfig:
     # PI_SIGMOID schedule
     sigmoid_th1: float = 5.0
     sigmoid_th2: float = 3.0
+    # PI_SIGMOID integrator gain: the MATLAB reference couples kI to the
+    # penalty (``param.kI = param.rho``, ADMM_CVX_..._PI_antiwindup.m:21);
+    # True (default) reproduces that coupling, False uses the fixed ``ki``
+    ki_from_rho: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

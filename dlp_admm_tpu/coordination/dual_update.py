@@ -82,9 +82,13 @@ def update_dual(state: DualState, r: jnp.ndarray, d_min: jnp.ndarray,
         sum_err = state.sum_err + cfg.ki * r + cfg.backcalc_gain * state.diff_val
     elif cfg.strategy is DualStrategy.PI_SIGMOID:
         # ref ...PI_antiwindup.m:160-167: integrator first (kI = backcalc
-        # gain 1), dual formed from the advanced integrator
+        # gain 1), dual formed from the advanced integrator. kP is formed
+        # per-edge from that pair's min distance (kP_mat(veh1,veh2), :160) —
+        # callers pass d_min broadcastable per pair; kI = rho per the
+        # reference's param.kI = param.rho (:21) unless ki_from_rho=False.
+        k_i = rho if cfg.ki_from_rho else cfg.ki
         k_p = cfg.sigmoid_th1 - cfg.sigmoid_th2 / (1.0 + jnp.exp(-d_min))
-        sum_err = state.sum_err + cfg.ki * r + state.diff_val
+        sum_err = state.sum_err + k_i * r + state.diff_val
         raw = sum_err + k_p * r
     else:  # pragma: no cover
         raise ValueError(f"unknown strategy {cfg.strategy}")

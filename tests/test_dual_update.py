@@ -1,4 +1,6 @@
 """Dual-update strategy tests vs hand-computed oracles (SURVEY.md C11)."""
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +118,24 @@ class TestPiSigmoid:
         np.testing.assert_allclose(np.asarray(far.dual), [5.0], rtol=1e-6)
         near = update_dual(st, jnp.array([1.0]), jnp.asarray(0.0), cfg)
         np.testing.assert_allclose(np.asarray(near.dual), [6.5], rtol=1e-6)
+
+    def test_ki_from_rho_coupling(self):
+        """ref ...PI_antiwindup.m:21 sets param.kI = param.rho: with
+        ki_from_rho=True (default) the integrator gain follows rho even when
+        cfg.ki says otherwise."""
+        cfg = DualUpdateConfig(strategy=DualStrategy.PI_SIGMOID,
+                               windup=WindupMode.NONE, sigmoid_th1=5.0,
+                               sigmoid_th2=3.0, ki=999.0, adaptive_rho=False,
+                               ki_from_rho=True)
+        st = mk_state([0.0], [0.0], [0.0], rho=3.5)
+        out = update_dual(st, jnp.array([1.0]), jnp.asarray(50.0), cfg)
+        # sum_err = 3.5 * 1; kP -> 2; dual = 3.5 + 2
+        np.testing.assert_allclose(np.asarray(out.sum_err), [3.5])
+        np.testing.assert_allclose(np.asarray(out.dual), [5.5], rtol=1e-6)
+        # ki_from_rho=False restores the fixed gain
+        cfg2 = dataclasses.replace(cfg, ki=1.0, ki_from_rho=False)
+        out2 = update_dual(st, jnp.array([1.0]), jnp.asarray(50.0), cfg2)
+        np.testing.assert_allclose(np.asarray(out2.sum_err), [1.0])
 
     def test_windup_sat_only_mode(self):
         cfg = DualUpdateConfig(strategy=DualStrategy.PI_SIGMOID,
