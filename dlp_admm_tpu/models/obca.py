@@ -512,10 +512,13 @@ class ConsensusObcaPlanner:
             lamb_ij=lamb_ij,
             local_x=ref0)
 
-    def shift_bar_state(self, bs: BarState) -> BarState:
+    def shift_bar_state(self, bs: BarState, batch_dims: int = 0) -> BarState:
         """Horizon warm-start shift (ref ``iterate_next_state``
-        ``optimizer.py:337-344``): drop step 0, duplicate the tail."""
+        ``optimizer.py:337-344``): drop step 0, duplicate the tail.
+        ``batch_dims`` extra leading axes (e.g. scenario) offset the shift
+        axis — used by the SPMD step whose leaves carry a scenario block."""
         def shift(a, axis):
+            axis += batch_dims
             sl = [slice(None)] * a.ndim
             sl[axis] = slice(1, None)
             tail = [slice(None)] * a.ndim
@@ -549,26 +552,25 @@ class ConsensusObcaPlanner:
 
     # -- one MPC step -----------------------------------------------------
 
-    def _local_warm(self, ref_win, p):
-        """Reference warm start (states = ref window, u = 0, lambda = 1 as in
-        ``local_initialize`` ``optimizer.py:50-55``) plus elastic slacks set
-        to the actual separation violation so the start point is feasible —
-        a feasible interior start is what keeps the fixed-budget IP fast."""
-        n = self.ocfg.horizon
-        v = self.num_veh
+    def _local_warm_one(self, ref_i, p_i):
+        """One vehicle's reference warm start (states = ref window, u = 0,
+        lambda = 1 as in ``local_initialize`` ``optimizer.py:50-55``) plus
+        elastic slacks set to the actual separation violation so the start
+        point is feasible — a feasible interior start is what keeps the
+        fixed-budget IP fast."""
         s = self._loc_sizes
-        base = jnp.concatenate([
-            ref_win.reshape(v, -1),
-            jnp.zeros((v, s["u"]), self.dtype),
-            jnp.ones((v, s["lam"]), self.dtype),
-            jnp.zeros((v, s["e"]), self.dtype)], axis=1)
+        x0 = jnp.concatenate([
+            ref_i.reshape(-1),
+            jnp.zeros((s["u"],), self.dtype),
+            jnp.ones((s["lam"],), self.dtype),
+            jnp.zeros((s["e"],), self.dtype)])
+        sep = self._local_ci(x0, p_i)[:s["e"]]
+        e = jnp.maximum(-sep, 0.0) + 0.01
+        return x0.at[-s["e"]:].set(e)
 
-        def fix_e(x0, p_i):
-            sep = self._local_ci(x0, p_i)[:s["e"]]
-            e = jnp.maximum(-sep, 0.0) + 0.01
-            return x0.at[-s["e"]:].set(e)
-
-        return jax.vmap(fix_e)(base, p)
+    def _local_warm(self, ref_win, p):
+        """All-vehicle reference warm start (vmapped :meth:`_local_warm_one`)."""
+        return jax.vmap(self._local_warm_one)(ref_win, p)
 
     def _local_params(self, bs: BarState, init_state, ref_win, rho, mask_veh):
         """Per-vehicle parameter pytree for the vmapped local solves.

@@ -60,10 +60,13 @@ def sharded_batch_step(engine, mesh: Mesh):
     ``engine`` is a planner with ``_mpc_step_impl(xt, u_warm, step_idx)``
     (e.g. :class:`~dlp_admm_tpu.models.pi_admm.PiAdmmEngine`). Returns a
     function ``step(xts [S, ...], u_warms [S, ...], step_idx)`` with inputs
-    and outputs sharded over the scenario axis; the vehicle axis inside each
-    scenario is partitioned by GSPMD where profitable (vmapped local QP
-    batches). One compiled program serves the whole fleet — the TPU-native
-    replacement for the reference's per-scenario Python processes.
+    and outputs sharded over the scenario axis — pure data parallelism; the
+    per-scenario math is replicated over the vehicle mesh dimension. For
+    genuine vehicle-axis partitioning (local solves sharded per vehicle,
+    bar-state as all_gather, residuals as psum) use
+    :func:`~dlp_admm_tpu.parallel.consensus_spmd.make_consensus_spmd_step`.
+    One compiled program serves the whole fleet — the TPU-native replacement
+    for the reference's per-scenario Python processes.
     """
     sh = scenario_sharding(mesh)
     batched = jax.vmap(engine._mpc_step_impl, in_axes=(0, 0, None))
