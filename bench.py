@@ -1,6 +1,6 @@
 """Benchmark: PI-ADMM consensus iterations/s on the 16-vehicle H=30 workload.
 
-Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
 
 Workload (BASELINE.md): a batch of 16-vehicle, horizon-30 overtaking
 scenarios run through the pairwise PI-ADMM engine (local QPs per vehicle,
@@ -10,6 +10,14 @@ MPC steps of the ADMM iterations actually executed (the inner while_loop
 exits early on convergence; masked lanes are not counted) — divided by the
 wall time of the iteration work (compile excluded via warmup).
 
+Quality gate (VERDICT r1 weak #1): throughput only counts if the solves are
+good — the same run must stay collision-free (min pairwise distance above
+``MIN_DIST_GATE``) and converge on most (scenario, step) lanes
+(``CONV_FRAC_GATE``). Both are asserted; the JSON carries the measured
+values plus ``wall_clock_per_mpc_step`` and the effective-vs-capped
+iteration split (BASELINE.json names both metrics). The committed
+regression twin is ``tests/test_bench_quality.py``.
+
 Baseline target: >= 500 iterations/s on TPU v5p-16 (BASELINE.json). Runs on
 whatever accelerator jax exposes (single chip here).
 """
@@ -18,6 +26,11 @@ import sys
 import time
 
 import numpy as np
+
+# quality gates for the benched trajectory (see tests/test_bench_quality.py
+# for the committed regression values; these are the never-regress floors)
+MIN_DIST_GATE = 1.0       # m; vehicles start ~3.3 m apart laterally
+CONV_FRAC_GATE = 0.50     # fraction of (scenario, step) lanes converged
 
 
 def main():
@@ -37,8 +50,11 @@ def main():
     n_steps = 4
 
     speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
+    # iter_num=30: the crossing window needs ~20-30 consensus iterations to
+    # actually converge (residual probe, round 2); capping at 15 reported
+    # throughput on half-done solves (VERDICT r1 weak #1/#2)
     cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
-                       dis_thres=2.0, iter_num=15, eps_pri=1.0, eps_dual=1.0,
+                       dis_thres=2.0, iter_num=30, eps_pri=1.0, eps_dual=1.0,
                        stop_needs_clearance=False)
     refs, xt0 = pi_admm_overtake_refs(cfg)
     eng = PiAdmmEngine(cfg, DualUpdateConfig(),
@@ -60,14 +76,38 @@ def main():
     jax.block_until_ready(xt_w)
 
     total_iters = 0
+    capped_lanes = 0
+    states = [np.asarray(xts)]
     t0 = time.time()
     xt, u = xts, us
     for k in range(n_steps):
         u = jnp.concatenate([u[:, :, 1:], u[:, :, -1:]], axis=2)
         xt, u, rec = step(xt, u, jnp.asarray(k, jnp.int32))
-        total_iters += int(np.sum(np.asarray(rec.iterations)))
+        iters_k = np.asarray(rec.iterations)
+        total_iters += int(np.sum(iters_k))
+        capped_lanes += int(np.sum(iters_k >= cfg.iter_num))
+        states.append(np.asarray(xt))
     jax.block_until_ready(xt)
     elapsed = time.time() - t0
+
+    # quality: min pairwise distance over every visited state, and the
+    # fraction of (scenario, step) lanes whose inner loop exited early
+    h = np.stack(states)                        # [n_steps+1, S, V, 3]
+    p = h[..., :2]
+    d = np.linalg.norm(p[:, :, :, None, :] - p[:, :, None, :, :], axis=-1)
+    d = d + 1e9 * np.eye(num_veh)
+    min_dist = float(d.min())
+    lanes = n_steps * n_scen
+    conv_frac = 1.0 - capped_lanes / lanes
+    finite = bool(np.all(np.isfinite(h)))
+
+    quality_ok = (finite and min_dist > MIN_DIST_GATE
+                  and conv_frac >= CONV_FRAC_GATE)
+    assert finite, "non-finite states in benched trajectory"
+    assert min_dist > MIN_DIST_GATE, \
+        f"collision risk: min pairwise distance {min_dist:.3f} <= {MIN_DIST_GATE}"
+    assert conv_frac >= CONV_FRAC_GATE, \
+        f"converged fraction {conv_frac:.3f} < {CONV_FRAC_GATE}"
 
     value = total_iters / elapsed
     print(json.dumps({
@@ -75,6 +115,12 @@ def main():
         "value": round(value, 2),
         "unit": "iterations/s",
         "vs_baseline": round(value / 500.0, 4),
+        "wall_clock_per_mpc_step_s": round(elapsed / n_steps, 5),
+        "effective_iterations": total_iters,
+        "capped_iteration_lanes": capped_lanes,
+        "converged_fraction": round(conv_frac, 4),
+        "min_pairwise_distance_m": round(min_dist, 3),
+        "quality_ok": quality_ok,
     }))
     return 0
 
