@@ -201,13 +201,26 @@ class AladinEngine:
                            step_norm=step_norm), ys
 
     def run(self, x0: jnp.ndarray, p, n_iters: int = 30,
-            tol: Optional[float] = 1e-6):
+            tol: Optional[float] = 1e-6,
+            checkpoint_path: Optional[str] = None, resume: bool = False):
         """Host loop with the reference's termination test
         (``example2.py:211-216``): ``||sum A_i y_i - b||_1 <= eps`` and
-        ``rho ||y - x||_1 <= eps``."""
+        ``rho ||y - x||_1 <= eps``. ``checkpoint_path`` persists the
+        AladinState carry per iteration; ``resume=True`` continues a saved
+        run (SURVEY.md §5)."""
+        import os
         state = self.init_state(x0)
-        for _ in range(n_iters):
+        start = 0
+        if checkpoint_path is not None and resume \
+                and os.path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_carry
+            state, start = load_carry(checkpoint_path, state)
+        ys = state.x
+        for it in range(start, n_iters):
             state, ys = self.step(state, p)
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import save_carry
+                save_carry(checkpoint_path, state, it + 1)
             if tol is not None and (float(state.coupling_res) <= tol
                                     and float(state.step_norm) <= tol):
                 break

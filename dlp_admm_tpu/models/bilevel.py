@@ -352,19 +352,32 @@ class _FixedDualPlannerBase:
                         jnp.max(e2, axis=(-3, -2, -1)))
         return xs, us, e, sol
 
-    def run(self, n_steps: Optional[int] = None):
+    def run(self, n_steps: Optional[int] = None,
+            checkpoint_path: Optional[str] = None, resume: bool = False):
+        """MPC loop with optional checkpoint/resume of the
+        (init_state, FixedDualState) carry (SURVEY.md §5)."""
+        import os
         ocfg, vcfg = self.ocfg, self.vcfg
         total = int(vcfg.T / vcfg.dt - ocfg.horizon)
         n_steps = total if n_steps is None else n_steps
         init_state = jnp.asarray(self.refs[:, 0, :], self.dtype)
         bs = self.create_state()
+        start = 0
+        if checkpoint_path is not None and resume \
+                and os.path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_carry
+            (init_state, bs), start = load_carry(checkpoint_path,
+                                                 (init_state, bs))
         states = [np.asarray(init_state)]
         infos = []
-        for t in range(n_steps):
+        for t in range(start, n_steps):
             init_state, bs, info = self._mpc_step(
                 init_state, bs, jnp.asarray(t, jnp.int32))
             states.append(np.asarray(init_state))
             infos.append(jax.device_get(info))
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import save_carry
+                save_carry(checkpoint_path, (init_state, bs), t + 1)
         return np.stack(states), infos
 
 

@@ -697,18 +697,60 @@ class ConsensusObcaPlanner:
         return (next_state, self.shift_bar_state(out["bs"]), out["it"],
                 out["primal"], out["dual"], converged_flag)
 
-    def run(self, n_steps: Optional[int] = None):
+    def run_scan(self, n_steps: Optional[int] = None):
+        """Whole MPC run as ONE jitted ``lax.scan`` over steps (no per-step
+        host dispatch; the (state, BarState) carry stays on device).
+        Identical trajectories to :meth:`run`; returns
+        ``(states [n+1, V, 5], iters [n], primal [n], dual [n], conv [n])``.
+        """
         ocfg, vcfg = self.ocfg, self.vcfg
         total = int(vcfg.T / vcfg.dt - ocfg.horizon)
         n_steps = total if n_steps is None else n_steps
         init_state = jnp.asarray(self.refs[:, 0, :], self.dtype)
         bs = self.create_bar_state()
+
+        def step(carry, k):
+            st, bs_c = carry
+            st, bs_c, it, pr, du, cv = self._mpc_step_impl(st, bs_c, k)
+            return (st, bs_c), (st, it, pr, du, cv)
+
+        if not hasattr(self, "_run_scan_jit"):
+            self._run_scan_jit = jax.jit(
+                lambda c0, ks: jax.lax.scan(step, c0, ks))
+        (_, _), (sts, its, prs, dus, cvs) = self._run_scan_jit(
+            (init_state, bs), jnp.arange(n_steps, dtype=jnp.int32))
+        states = np.concatenate([np.asarray(init_state)[None],
+                                 np.asarray(sts)])
+        return (states, np.asarray(its), np.asarray(prs), np.asarray(dus),
+                np.asarray(cvs))
+
+    def run(self, n_steps: Optional[int] = None,
+            checkpoint_path: Optional[str] = None, resume: bool = False):
+        """MPC loop; ``checkpoint_path`` persists the (init_state, bar_state)
+        carry after every step, ``resume=True`` continues a saved run from
+        its last completed step (records of completed steps are not
+        replayed — SURVEY.md §5: the bar_state pytree is the carry unit)."""
+        import os
+        ocfg, vcfg = self.ocfg, self.vcfg
+        total = int(vcfg.T / vcfg.dt - ocfg.horizon)
+        n_steps = total if n_steps is None else n_steps
+        init_state = jnp.asarray(self.refs[:, 0, :], self.dtype)
+        bs = self.create_bar_state()
+        start = 0
+        if checkpoint_path is not None and resume \
+                and os.path.exists(checkpoint_path):
+            from ..utils.checkpoint import load_carry
+            (init_state, bs), start = load_carry(checkpoint_path,
+                                                 (init_state, bs))
         states, iters, residuals, flags = [np.asarray(init_state)], [], [], []
-        for t in range(n_steps):
+        for t in range(start, n_steps):
             init_state, bs, it, pr, du, cv = self._mpc_step(
                 init_state, bs, jnp.asarray(t, jnp.int32))
             states.append(np.asarray(init_state))
             iters.append(int(it))
             residuals.append((float(pr), float(du)))
             flags.append(bool(cv))
+            if checkpoint_path is not None:
+                from ..utils.checkpoint import save_carry
+                save_carry(checkpoint_path, (init_state, bs), t + 1)
         return np.stack(states), np.array(iters), residuals, flags

@@ -589,7 +589,39 @@ class PiAdmmEngine:
                          dual_max=jnp.max(dual.dual))
         return xt_next, u, rec
 
-    # -- full MPC run (host loop; scan version lives in mpc.driver) -------
+    # -- full MPC run: host loop (checkpointable) or one jitted lax.scan --
+
+    def run_scan(self, xt0: Optional[np.ndarray] = None,
+                 n_steps: Optional[int] = None):
+        """Whole MPC run as ONE jitted ``lax.scan`` over steps.
+
+        Kills the per-step host dispatch of :meth:`run` (the reference's
+        outer Python loop, ``casadi_old_PI_ADMM/main.py:41``): the
+        (xt, u_warm) carry never leaves the device and XLA pipelines the
+        step programs back-to-back. Trajectories are identical to
+        :meth:`run`; use :meth:`run` when you need per-step checkpointing.
+        Returns the same stacked :class:`StepRecord` pytree.
+        """
+        from .. import scenarios
+        cfg = self.cfg
+        if xt0 is None:
+            xt0 = scenarios.pi_admm_initial_states(cfg)
+        xt = jnp.asarray(xt0, self.dtype)
+        u = jnp.zeros((cfg.num_veh, cfg.horizon), self.dtype)
+        n_steps = cfg.n_mpc_steps if n_steps is None else n_steps
+
+        def step(carry, k):
+            xt_c, u_c = carry
+            u_c = jnp.concatenate([u_c[:, 1:], u_c[:, -1:]], axis=1)
+            xt_c, u_c, rec = self._mpc_step_impl(xt_c, u_c, k)
+            return (xt_c, u_c), rec
+
+        if not hasattr(self, "_run_scan_jit"):
+            self._run_scan_jit = jax.jit(
+                lambda c0, ks: jax.lax.scan(step, c0, ks))
+        (_, _), recs = self._run_scan_jit(
+            (xt, u), jnp.arange(n_steps, dtype=jnp.int32))
+        return jax.device_get(recs)
 
     def run(self, xt0: Optional[np.ndarray] = None,
             n_steps: Optional[int] = None,
