@@ -75,6 +75,14 @@ def main():
     xt_w, u_w, rec_w = step(xts, us, jnp.asarray(0, jnp.int32))
     jax.block_until_ready(xt_w)
 
+    # --trace PATH streams per-step telemetry through the native buffered
+    # logger (native/tracelog.cpp via RunMetrics)
+    trace_path = None
+    if "--trace" in sys.argv:
+        trace_path = sys.argv[sys.argv.index("--trace") + 1]
+    from dlp_admm_tpu.utils.metrics import RunMetrics
+    metrics = RunMetrics(trace_path=trace_path)
+
     total_iters = 0
     capped_lanes = 0
     states = [np.asarray(xts)]
@@ -87,8 +95,16 @@ def main():
         total_iters += int(np.sum(iters_k))
         capped_lanes += int(np.sum(iters_k >= cfg.iter_num))
         states.append(np.asarray(xt))
+        metrics.log_step(k, int(np.sum(iters_k)),
+                         primal=float(np.mean(np.asarray(rec.primal_res))),
+                         dual=float(np.mean(np.asarray(rec.dual_res))))
     jax.block_until_ready(xt)
     elapsed = time.time() - t0
+    metrics.close()
+    if trace_path:
+        from dlp_admm_tpu.utils.tracelog import read_tracelog
+        print(f"trace: {read_tracelog(trace_path).shape[0]} records -> "
+              f"{trace_path}", file=sys.stderr)
 
     # quality: min pairwise distance over every visited state, and the
     # fraction of (scenario, step) lanes whose inner loop exited early

@@ -21,12 +21,22 @@ logger = logging.getLogger("dlp_admm_tpu")
 
 @dataclass
 class RunMetrics:
-    """Per-step history + aggregate report of one MPC run."""
+    """Per-step history + aggregate report of one MPC run.
+
+    ``trace_path`` streams every logged step through the native buffered
+    trace logger (``native/tracelog.cpp`` via ``utils.tracelog``) as
+    fixed-width float32 records ``[step, iterations, extras... (sorted by
+    key), zero-padded]`` — kHz-rate telemetry without stalling the dispatch
+    thread; read back with :func:`~dlp_admm_tpu.utils.tracelog.read_tracelog`.
+    """
 
     step_times: List[float] = field(default_factory=list)
     iter_history: List[int] = field(default_factory=list)     # `iter_his`
     extras: Dict[str, list] = field(default_factory=dict)
+    trace_path: Optional[str] = None
+    trace_record_floats: int = 8
     _t0: Optional[float] = None
+    _trace: Optional[object] = field(default=None, repr=False)
 
     @contextlib.contextmanager
     def step_timer(self):
@@ -42,6 +52,29 @@ class RunMetrics:
             self.extras.setdefault(k, []).append(v)
         logger.info("t_step: %d, iter: %d, %s", step, iterations,
                     ", ".join(f"{k}: {v}" for k, v in kv.items()))
+        if self.trace_path is not None:
+            self._trace_step(step, iterations, kv)
+
+    def _trace_step(self, step, iterations, kv):
+        import numpy as np
+        if self._trace is None:
+            from .tracelog import TraceLog
+            self._trace = TraceLog(self.trace_path, self.trace_record_floats)
+        vals = [float(step), float(iterations)]
+        for k in sorted(kv):
+            try:
+                vals.append(float(kv[k]))
+            except (TypeError, ValueError):
+                pass
+        vals = (vals + [0.0] * self.trace_record_floats)[
+            :self.trace_record_floats]
+        self._trace.append(np.asarray([vals], np.float32))
+
+    def close(self) -> None:
+        """Flush + close the native trace stream (no-op without one)."""
+        if self._trace is not None:
+            self._trace.close()
+            self._trace = None
 
     @property
     def total_iterations(self) -> int:                        # `sum_iter_num`

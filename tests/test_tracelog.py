@@ -1,4 +1,4 @@
-"""Native trace logger tests (C++ tracelog + ctypes bindings)."""
+"""Native trace logger + RunMetrics streaming tests (C++ tracelog + ctypes bindings)."""
 import os
 import tempfile
 
@@ -45,3 +45,21 @@ class TestTraceLog:
             back = read_tracelog(path)
             assert back.shape == (64 * 1024, 16)
             assert float(back.sum()) == 64 * 1024 * 16
+
+
+class TestRunMetricsStreaming:
+    def test_log_step_streams_records(self):
+        """RunMetrics(trace_path=...) streams per-step telemetry through the
+        native logger: [step, iterations, extras sorted by key, padding]."""
+        from dlp_admm_tpu.utils.metrics import RunMetrics
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "metrics.dlplog")
+            m = RunMetrics(trace_path=path)
+            m.log_step(0, 5, rho=1.5, primal=0.25)
+            m.log_step(1, 7, rho=2.0, primal=0.125)
+            m.close()
+            back = read_tracelog(path)
+        assert back.shape == (2, 8)
+        # extras sorted: primal before rho
+        np.testing.assert_allclose(back[0], [0, 5, 0.25, 1.5, 0, 0, 0, 0])
+        np.testing.assert_allclose(back[1], [1, 7, 0.125, 2.0, 0, 0, 0, 0])
