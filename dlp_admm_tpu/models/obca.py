@@ -84,12 +84,21 @@ class CentralizedObcaPlanner:
                  scfg: SolverConfig = SolverConfig(),
                  refs: Optional[np.ndarray] = None,
                  r_ctrl: float = 0.1, q_state: float = 1.0,
+                 warm_mode: str = "reference",
                  dtype=jnp.float64):
         from .. import scenarios
         from ..ops.pairs import pair_indices
         self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
         self.dtype = dtype
         self.r_ctrl, self.q_state = r_ctrl, q_state
+        # 'reference' re-seeds every MPC step from the reference window (the
+        # reference's initialize(), centralized/optimizer.py:31-51, which
+        # leans on IPOPT's 1000-iteration robustness); 'previous' shifts the
+        # previous step's optimum — much better conditioned for the
+        # fixed-budget IP solver when the reference path itself is infeasible
+        # (e.g. crossing scenarios where the refs collide)
+        assert warm_mode in ("reference", "previous")
+        self.warm_mode = warm_mode
         if refs is None:
             refs = scenarios.ref_traj_overtake(vcfg, ocfg.num_veh)
         self.refs = jnp.asarray(refs, dtype)            # [V, T/dt+1, 5]
@@ -99,6 +108,7 @@ class CentralizedObcaPlanner:
             x=v * 5 * n, u=v * 2 * (n - 1), lam=p * 2 * 4 * (n - 1))
         self._nlp = NLP(self._objective, self._ce, self._ci)
         self._solve = jax.jit(self._solve_impl)
+        self._shift_warm = jax.jit(self._shift_warm_impl)
 
     # x layout: [X (V,N,5) | U (V,N-1,2) | LAM (P,2,N-1,4)]
     def _split(self, x):
@@ -155,13 +165,39 @@ class CentralizedObcaPlanner:
         lam = jnp.full(self._sizes["lam"], 10.0, self.dtype)  # ref x0: 10
         return jnp.concatenate([xs, us, lam])
 
-    def _solve_impl(self, init_state, step_idx):
+    def _shift_warm_impl(self, x_prev):
+        """Shift the previous optimum one step (drop t=0, duplicate the
+        tail) — the warm start for ``warm_mode='previous'``. The shifted
+        tail state is advanced through the dynamics (instead of duplicated)
+        so the warm start stays dynamics-feasible end to end."""
+        xs, us, lam = self._split(x_prev)
+        shift = lambda a, ax: jnp.concatenate(
+            [jnp.take(a, jnp.arange(1, a.shape[ax]), axis=ax),
+             jnp.take(a, jnp.asarray([a.shape[ax] - 1]), axis=ax)], axis=ax)
+        xs_s, us_s = shift(xs, 1), shift(us, 1)
+        tail = xs_s[:, -2] + self.vcfg.dt * bicycle_rhs(
+            xs_s[:, -2], us_s[:, -1], self.vcfg)
+        xs_s = xs_s.at[:, -1].set(tail)
+        return jnp.concatenate([xs_s.reshape(-1), us_s.reshape(-1),
+                                shift(lam, 2).reshape(-1)])
+
+    def _solve_impl(self, init_state, step_idx, x_warm):
         n = self.ocfg.horizon
         ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
         p = dict(init_state=init_state, ref_win=ref_win)
-        sol = solve_nlp(self._nlp, self._warm_start(ref_win), p, self.scfg)
+        sol = solve_nlp(self._nlp, x_warm, p, self.scfg)
         xs, us, lam = self._split(sol.x)
         return xs, us, lam, sol
+
+    def solve_at(self, init_state, step_idx: int):
+        """One joint solve with the reference warm start (the unit the MPC
+        loop repeats; also the convenient single-solve test surface)."""
+        n = self.ocfg.horizon
+        ref_win = jax.lax.dynamic_slice_in_dim(
+            self.refs, jnp.asarray(step_idx, jnp.int32), n, axis=1)
+        return self._solve(jnp.asarray(init_state, self.dtype),
+                           jnp.asarray(step_idx, jnp.int32),
+                           self._warm_start(ref_win))
 
     def run(self, n_steps: Optional[int] = None):
         """MPC loop (ref ``centralized_overtaking.py:21-56``): apply the
@@ -170,10 +206,17 @@ class CentralizedObcaPlanner:
         total = int(self.vcfg.T / self.vcfg.dt - ocfg.horizon)
         n_steps = total if n_steps is None else n_steps
         init_state = np.asarray(self.refs[:, 0, :])
+        ref0 = self.refs[:, :ocfg.horizon, :]
+        x_warm = self._warm_start(ref0)
         states, controls, infos = [init_state], [], []
         for t in range(n_steps):
             xs, us, lam, sol = self._solve(jnp.asarray(init_state, self.dtype),
-                                           jnp.asarray(t, jnp.int32))
+                                           jnp.asarray(t, jnp.int32), x_warm)
+            if self.warm_mode == "previous":
+                x_warm = self._shift_warm(sol.x)
+            else:
+                ref_win = self.refs[:, t + 1:t + 1 + ocfg.horizon, :]
+                x_warm = self._warm_start(ref_win)
             init_state = np.asarray(xs[:, 1, :])
             states.append(init_state)
             controls.append(np.asarray(us[:, 0, :]))

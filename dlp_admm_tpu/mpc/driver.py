@@ -30,7 +30,7 @@ class RunResult:
 
 def run_obca(formulation: Formulation = Formulation.CONSENSUS,
              ocfg: Optional[ObcaConfig] = None,
-             vcfg: VehicleConfig = VehicleConfig(),
+             vcfg: Optional[VehicleConfig] = None,
              scfg: SolverConfig = SolverConfig(),
              n_steps: Optional[int] = None,
              plot_path: Optional[str] = None,
@@ -41,6 +41,11 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
     for the stochastic variant), ``CONSENSUS`` ≙
     ``decentralized_overtaking_ADMM.py``, ``BILEVEL`` ≙ the MISC line,
     ``TIGHTENING`` ≙ ``decentralized_overtaking_tighting.py``.
+
+    ``vcfg=None`` selects the formulation's reference default: the tighting
+    line's ``veh_config.py:18`` variant (T=7, prob=0.99) for
+    ``TIGHTENING``/``TIGHTENING_SLACK``, the plain ``VehicleConfig`` for the
+    rest. A caller-supplied ``vcfg`` is always honored.
     """
     from ..models.bilevel import (BilevelObcaPlanner, TighteningObcaPlanner,
                                   TighteningSlackObcaPlanner)
@@ -48,6 +53,12 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
 
     metrics = RunMetrics()
     extras: dict = {}
+
+    if vcfg is None:
+        vcfg = (VehicleConfig(T=7.0, prob=0.99)
+                if formulation in (Formulation.TIGHTENING,
+                                   Formulation.TIGHTENING_SLACK)
+                else VehicleConfig())
 
     if formulation is Formulation.CENTRALIZED:
         ocfg = ocfg or ObcaConfig(horizon=15, min_dis=1.0)
@@ -80,8 +91,7 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
                if formulation is Formulation.TIGHTENING_SLACK
                else TighteningObcaPlanner)
         ocfg = ocfg or ObcaConfig(horizon=8, min_dis=1.0)
-        pl = cls(ocfg, VehicleConfig(T=7.0, prob=0.99), scfg,
-                 **planner_kwargs)
+        pl = cls(ocfg, vcfg, scfg, **planner_kwargs)
         with metrics.step_timer():
             states, infos = pl.run(n_steps)
         for t, info in enumerate(infos):
@@ -92,6 +102,7 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
     if plot_path:
         plot_trajectories(states, plot_path, vcfg,
                           title=formulation.value)
+    extras["planner"] = pl
     return RunResult(states=states, metrics=metrics, extras=extras)
 
 

@@ -30,8 +30,7 @@ class TestCentralized:
     def test_duals_nonnegative_and_norm_bounded(self):
         pl = CentralizedObcaPlanner(ObcaConfig(horizon=15, min_dis=1.0),
                                     scfg=SCFG)
-        xs, us, lam, sol = pl._solve(
-            jnp.asarray(pl.refs[:, 0, :]), jnp.asarray(0, jnp.int32))
+        xs, us, lam, sol = pl.solve_at(pl.refs[:, 0, :], 0)
         assert bool(sol.converged)
         assert float(lam.min()) >= -1e-8
         from dlp_admm_tpu.ops.geometry import halfspaces
@@ -47,6 +46,38 @@ class TestCentralized:
             scfg=SCFG)
         states, _, infos = pl.run(n_steps=2)
         assert np.all(np.isfinite(states))
+
+
+class TestIntersection:
+    def test_centralized_crossing_collision_free(self):
+        """OBCA intersection scenario (ref ``centralized/veh_config.py:50-67``,
+        VERDICT r2 #10): two vehicles crossing at right angles — the
+        references literally collide at (25, 0), so the joint NLP must
+        deviate. ``warm_mode='previous'`` keeps the fixed-budget IP solver
+        well-conditioned through the conflict window (the reference instead
+        re-seeds from the colliding refs and leans on IPOPT's 1000-iteration
+        robustness)."""
+        from dlp_admm_tpu.config import VehicleConfig
+        from dlp_admm_tpu.scenarios import ref_traj_intersection
+        vcfg = VehicleConfig()
+        refs = ref_traj_intersection(vcfg, 2)
+        pl = CentralizedObcaPlanner(
+            ObcaConfig(horizon=15, min_dis=0.5), vcfg,
+            SolverConfig(ip_iters=40, ip_tol=1e-6), refs=refs,
+            warm_mode="previous")
+        states, ctrls, infos = pl.run(n_steps=28)
+        assert np.all(np.isfinite(states))
+        p = states[:, :, :2]
+        d = np.linalg.norm(p[:, 0] - p[:, 1], axis=-1)
+        # collision-free crossing: rectangle footprints are ~2.0 m wide, so
+        # center distance must stay well above the footprint radius sum
+        assert d.min() > 3.0, f"crossing too close: {d.min():.2f} m"
+        # both vehicles actually crossed the conflict point at (25, 0)
+        # (veh0 along +x, veh1 along -y)
+        assert states[-1, 0, 0] > 25.0
+        assert states[-1, 1, 1] < -0.5
+        # conflict-free early steps converge to tolerance
+        assert all(i["converged"] for i in infos[1:8])
 
 
 class TestConsensus:
