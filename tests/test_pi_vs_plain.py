@@ -1,0 +1,52 @@
+"""The paper's headline claim, demonstrated (VERDICT r2 #3).
+
+The reference ships explicit A/B toggles for exactly this comparison —
+``trad`` (plain dual ascent vs PI) in ``casadi_old_PI_ADMM/main.py:16,138``
+and ``param.PI`` / ``param.windup`` in
+``matlab_old_files/ADMM_CVX_two_veh_intesection_PI_antiwindup.m:24-25`` —
+and reports the win through ``iter_his`` / ``sum_iter_num``
+(``casadi/main.py:31,181,186``).
+
+Here the same A/B runs on the canonical 2-vehicle crossing scenario at equal
+tolerances: total consensus iterations over the whole MPC run (the
+reference's ``sum_iter_num``) must drop by >30% when the plain dual ascent
+``lam += rho * r`` is replaced by the PI controller with anti-windup
+back-calculation and adaptive rho (``casadi_old_PI_ADMM/main.py:128-151``).
+
+Measured on this suite's CPU mesh (f64): plain 560, PI-reciprocal 301
+iterations — a 1.86x reduction. The committed assertion leaves margin.
+"""
+import numpy as np
+
+from dlp_admm_tpu.config import (DualStrategy, DualUpdateConfig, PiAdmmConfig,
+                                 SolverConfig, WindupMode)
+from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
+
+CFG = PiAdmmConfig()            # the casadi_old crossing operating point
+SCFG = SolverConfig(qp_iters=120, qp_tol=1e-6)
+
+
+def _sum_iter_num(dual_cfg: DualUpdateConfig) -> int:
+    """Whole-run total of consensus iterations (ref ``sum_iter_num``),
+    asserting the run itself stays safe so the comparison is between
+    *successful* planners."""
+    eng = PiAdmmEngine(CFG, dual_cfg, SCFG, layout="classic")
+    rec = eng.run_scan()
+    x = np.asarray(rec.xt)
+    d = np.linalg.norm(x[:, 0, :2] - x[:, 1, :2], axis=-1)
+    assert np.all(np.isfinite(x))
+    assert d.min() > 0.8, f"unsafe run: min distance {d.min():.2f}"
+    return int(np.asarray(rec.iterations).sum())
+
+
+class TestPiBeatsPlain:
+    def test_pi_reciprocal_reduces_iterations_vs_plain(self):
+        plain = _sum_iter_num(DualUpdateConfig(
+            strategy=DualStrategy.PLAIN, windup=WindupMode.NONE,
+            adaptive_rho=False))
+        pi = _sum_iter_num(DualUpdateConfig(
+            strategy=DualStrategy.PI_RECIPROCAL,
+            windup=WindupMode.SAT_BACKCALC, adaptive_rho=True))
+        assert pi < 0.7 * plain, (
+            f"PI-reciprocal ({pi} iters) must beat plain dual ascent "
+            f"({plain} iters) by >30%")
