@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class Formulation(enum.Enum):
@@ -156,6 +156,12 @@ class PiAdmmConfig:
     # require min inter-vehicle distance > dis_thres before stopping
     # (ref casadi_old_PI_ADMM/main.py:157; the per-pair variant drops this)
     stop_needs_clearance: bool = True
+    # scale eps_pri/eps_dual by the number of ACTIVE collision pairs: the
+    # reference's per-edge residual (casadi/main.py:167-173) sums one term
+    # per active edge against a FIXED eps_pri tuned for its single-pair
+    # scenario — at V >> 2 a fixed total tolerance is arbitrarily stricter
+    # per edge, so the honest N-vehicle generalization is per-edge tolerance
+    eps_per_edge: bool = False
 
     @property
     def n_mpc_steps(self) -> int:
@@ -180,6 +186,11 @@ class ObcaConfig:
     primal_thres: float = 0.01
     dual_thres: float = 0.01
     rho: float = 1.0
+    # dual-ascent step size; None couples it to the AL penalty `rho` (the
+    # standard ADMM choice, and the reference's: lambda_update(1) with
+    # rho = 1, decentralized_overtaking_ADMM.py:42,79). A smaller explicit
+    # value damps the dual when the saturation bound would otherwise rail.
+    dual_rho: Optional[float] = None
     max_admm_iters: int = 50             # ref decentralized_overtaking_ADMM.py:86
     # objective weights (ref decentralized_overtaking_ADMM.py:56-58)
     r_ctrl: float = 1.0e4

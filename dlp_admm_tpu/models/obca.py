@@ -36,7 +36,8 @@ from ..config import DualUpdateConfig, ObcaConfig, SolverConfig, VehicleConfig
 from ..coordination.dual_update import DualState, update_dual
 from ..ops.dynamics import bicycle_rhs
 from ..ops.geometry import halfspaces
-from ..solvers.ip import NLP, solve_nlp
+from ..solvers.ip import NLP, NLPSolution, solve_nlp
+from ..solvers.ip_staged import StagedNLP, solve_staged
 
 # %% shared pieces ------------------------------------------------------------
 
@@ -85,12 +86,17 @@ class CentralizedObcaPlanner:
                  refs: Optional[np.ndarray] = None,
                  r_ctrl: float = 0.1, q_state: float = 1.0,
                  warm_mode: str = "reference",
+                 use_staged: bool = True,
                  dtype=jnp.float64):
         from .. import scenarios
         from ..ops.pairs import pair_indices
         self.ocfg, self.vcfg, self.scfg = ocfg, vcfg, scfg
         self.dtype = dtype
         self.r_ctrl, self.q_state = r_ctrl, q_state
+        # use_staged: solve the joint NLP with the block-tridiagonal staged
+        # IP (solvers/ip_staged.py) instead of the dense-KKT solver — same
+        # problem, O(N B^3) per iteration instead of O((N B)^3) (SURVEY §7.4)
+        self.use_staged = use_staged
         # 'reference' re-seeds every MPC step from the reference window (the
         # reference's initialize(), centralized/optimizer.py:31-51, which
         # leans on IPOPT's 1000-iteration robustness); 'previous' shifts the
@@ -107,6 +113,8 @@ class CentralizedObcaPlanner:
         self._sizes = dict(
             x=v * 5 * n, u=v * 2 * (n - 1), lam=p * 2 * 4 * (n - 1))
         self._nlp = NLP(self._objective, self._ce, self._ci)
+        self._staged_nlp = StagedNLP(self._stage_f, self._stage_ce_link,
+                                     self._stage_ce, self._stage_ci)
         self._solve = jax.jit(self._solve_impl)
         self._shift_warm = jax.jit(self._shift_warm_impl)
 
@@ -159,6 +167,79 @@ class CentralizedObcaPlanner:
         return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
                                 lam.reshape(-1), boxes.reshape(-1)])
 
+    # -- staged (block-tridiagonal) form ----------------------------------
+    # Stage k = 0..N-2 holds every step-(k+1) decision block:
+    # w_k = [X[:, k+1, :] (V*5) | U[:, k, :] (V*2) | LAM[:, :, k, :] (P*8)].
+    # The joint NLP's KKT is block-tridiagonal in this ordering (dynamics
+    # couple adjacent stages; OBCA rows live within a stage) — the structure
+    # the reference hands to IPOPT's sparse solver (centralized/optimizer.py:
+    # 148-194) and the dense path ignores.
+
+    def _stage_split(self, w):
+        v = self.ocfg.num_veh
+        p = len(self.idx_i)
+        xs = w[:5 * v].reshape(v, 5)
+        us = w[5 * v:7 * v].reshape(v, 2)
+        lam = w[7 * v:].reshape(p, 2, 4)
+        return xs, us, lam
+
+    def _stage_params(self, init_state, ref_win):
+        t = self.ocfg.horizon - 1
+        first = jnp.zeros((t,), self.dtype).at[0].set(1.0)
+        return dict(first=first,
+                    ref=jnp.moveaxis(ref_win[:, 1:, :], 1, 0),   # [T, V, 5]
+                    init=jnp.broadcast_to(init_state,
+                                          (t,) + init_state.shape))
+
+    def _stage_f(self, w, pk):
+        xs, us, _ = self._stage_split(w)
+        return (self.r_ctrl * jnp.sum(us ** 2)
+                + self.q_state * jnp.sum((xs - pk["ref"]) ** 2))
+
+    def _stage_ce_link(self, w_prev, w, pk):
+        xs, us, _ = self._stage_split(w)
+        xp = jnp.where(pk["first"] > 0, pk["init"],
+                       self._stage_split(w_prev)[0])
+        f = bicycle_rhs(xp, us, self.vcfg)
+        return (xs - (xp + self.vcfg.dt * f)).reshape(-1)
+
+    def _stage_ce(self, w, pk):
+        xs, _, lam = self._stage_split(w)
+        a_mat, _ = halfspaces(xs, self.vcfg, self.ocfg.use_delay_tightening)
+        at_li = jnp.einsum('pij,pi->pj', a_mat[self.idx_i], lam[:, 0])
+        at_lj = jnp.einsum('pij,pi->pj', a_mat[self.idx_j], lam[:, 1])
+        return (at_li + at_lj).reshape(-1)
+
+    def _stage_ci(self, w, pk):
+        xs, us, lam = self._stage_split(w)
+        a_mat, b = halfspaces(xs, self.vcfg, self.ocfg.use_delay_tightening)
+        bl_i = jnp.einsum('pi,pi->p', b[self.idx_i], lam[:, 0])
+        bl_j = jnp.einsum('pi,pi->p', b[self.idx_j], lam[:, 1])
+        sep = -bl_i - bl_j - self.ocfg.min_dis
+        at_li = jnp.einsum('pij,pi->pj', a_mat[self.idx_i], lam[:, 0])
+        nrm = 1.0 - jnp.sum(at_li ** 2, axis=-1)
+        boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
+        return jnp.concatenate([sep, nrm, lam.reshape(-1), boxes])
+
+    def _to_staged(self, x):
+        """Dense decision vector -> staged [T, b] (same variables)."""
+        xs, us, lam = self._split(x)
+        t = self.ocfg.horizon - 1
+        return jnp.concatenate([
+            jnp.moveaxis(xs[:, 1:], 1, 0).reshape(t, -1),
+            jnp.moveaxis(us, 1, 0).reshape(t, -1),
+            jnp.moveaxis(lam, 2, 0).reshape(t, -1)], axis=1)
+
+    def _from_staged(self, w, init_state):
+        t = self.ocfg.horizon - 1
+        v, p = self.ocfg.num_veh, len(self.idx_i)
+        xs_t = w[:, :5 * v].reshape(t, v, 5)
+        us_t = w[:, 5 * v:7 * v].reshape(t, v, 2)
+        lam_t = w[:, 7 * v:].reshape(t, p, 2, 4)
+        xs = jnp.moveaxis(jnp.concatenate([init_state[None], xs_t], axis=0),
+                          0, 1)                                  # [V, N, 5]
+        return xs, jnp.moveaxis(us_t, 0, 1), jnp.moveaxis(lam_t, 0, 2)
+
     def _warm_start(self, ref_win):
         xs = ref_win.reshape(-1)
         us = jnp.zeros(self._sizes["u"], self.dtype)
@@ -184,6 +265,20 @@ class CentralizedObcaPlanner:
     def _solve_impl(self, init_state, step_idx, x_warm):
         n = self.ocfg.horizon
         ref_win = jax.lax.dynamic_slice_in_dim(self.refs, step_idx, n, axis=1)
+        if self.use_staged:
+            ssol = solve_staged(self._staged_nlp, self._to_staged(x_warm),
+                                self._stage_params(init_state, ref_win),
+                                self.scfg)
+            xs, us, lam = self._from_staged(ssol.w, init_state)
+            x_flat = jnp.concatenate([xs.reshape(-1), us.reshape(-1),
+                                      lam.reshape(-1)])
+            sol = NLPSolution(x=x_flat, y=jnp.zeros((0,), self.dtype),
+                              z=jnp.zeros((0,), self.dtype),
+                              s=jnp.zeros((0,), self.dtype),
+                              kkt_error=ssol.kkt_error,
+                              iterations=ssol.iterations,
+                              converged=ssol.converged)
+            return xs, us, lam, sol
         p = dict(init_state=init_state, ref_win=ref_win)
         sol = solve_nlp(self._nlp, x_warm, p, self.scfg)
         xs, us, lam = self._split(sol.x)
@@ -305,6 +400,7 @@ class ConsensusObcaPlanner:
                  dual_cfg: Optional["DualUpdateConfig"] = None,
                  local_warm_mode: str = "previous",
                  gate_pairs: bool = False, gate_thres: float = 10.0,
+                 use_staged: bool = True, edge_mode: str = "staged",
                  dtype=jnp.float64):
         from .. import scenarios
         from ..config import DualStrategy, DualUpdateConfig, WindupMode
@@ -367,6 +463,25 @@ class ConsensusObcaPlanner:
                                e=self.K * (n - 1))
         self._local_nlp = NLP(self._local_obj, self._local_ce, self._local_ci)
         self._edge_nlp = NLP(self._edge_obj, self._edge_ce, self._edge_ci)
+        # structured variants (SURVEY §7.4): the local NLP's KKT is
+        # block-tridiagonal under a time-major permutation; the edge NLP has
+        # NO temporal coupling at all (objective and constraints are
+        # per-step), so it splits into N-1 independent small NLPs — the
+        # reference nevertheless hands IPOPT one joint edge problem
+        # (optimizer.py:309-317); the split is exact, not an approximation.
+        self.use_staged = use_staged
+        assert edge_mode in ("joint", "per_step", "staged")
+        self.edge_mode = edge_mode
+        self._local_staged = StagedNLP(self._loc_stage_f,
+                                       self._loc_stage_ce_link,
+                                       self._loc_stage_ce,
+                                       self._loc_stage_ci)
+        self._edge_nlp_t = NLP(self._edge_obj_t, self._edge_ce_t,
+                               self._edge_ci_t)
+        self._edge_staged = StagedNLP(self._edge_stage_f,
+                                      self._edge_stage_ce_link,
+                                      self._edge_stage_ce,
+                                      self._edge_stage_ci)
         self._mpc_step = jax.jit(self._mpc_step_impl)
 
     # -- local problem (ref optimizer.py:40-201) -------------------------
@@ -431,6 +546,91 @@ class ConsensusObcaPlanner:
         return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
                                 lam.reshape(-1), e.reshape(-1), boxes])
 
+    # -- staged (block-tridiagonal) local form (SURVEY §7.4) ---------------
+    # Stage k = 0..N-2 holds w_k = [x_{k+1} (5) | u_k (2) | lam[:, k, :]
+    # (4K) | e[:, k] (K)]; dynamics are the only stage-coupling rows.
+
+    def _loc_stage_split(self, w):
+        k = self.K
+        xs = w[:5]
+        us = w[5:7]
+        lam = w[7:7 + 4 * k].reshape(k, 4)
+        e = w[7 + 4 * k:]
+        return xs, us, lam, e
+
+    def _loc_to_staged(self, x):
+        xs, us, lam, e = self._loc_split(x)
+        t = self.ocfg.horizon - 1
+        return jnp.concatenate([
+            xs[1:], us, jnp.moveaxis(lam, 1, 0).reshape(t, 4 * self.K),
+            jnp.moveaxis(e, 1, 0)], axis=1)
+
+    def _loc_from_staged(self, w, init_state):
+        t = self.ocfg.horizon - 1
+        k = self.K
+        xs = jnp.concatenate([init_state[None], w[:, :5]], axis=0)
+        us = w[:, 5:7]
+        lam = jnp.moveaxis(w[:, 7:7 + 4 * k].reshape(t, k, 4), 0, 1)
+        e = jnp.moveaxis(w[:, 7 + 4 * k:], 1, 0)
+        return jnp.concatenate([xs.reshape(-1), us.reshape(-1),
+                                lam.reshape(-1), e.reshape(-1)])
+
+    def _loc_stage_f(self, w, pk):
+        xs, us, lam, e = self._loc_stage_split(w)
+        obj = (self.ocfg.r_ctrl * jnp.sum(us ** 2)
+               + self.ocfg.q_state * jnp.sum((xs - pk["ref"]) ** 2))
+        s_full = jnp.concatenate([xs, lam.reshape(-1)])
+        obj += pk["lamb_bar"] @ s_full
+        obj += pk["rho"] / 2 * jnp.sum((s_full - pk["z_bar"]) ** 2)
+        obj += self.elastic_w * jnp.sum(e)
+        return obj
+
+    def _loc_stage_ce_link(self, w_prev, w, pk):
+        xs, us, _, _ = self._loc_stage_split(w)
+        xp = jnp.where(pk["first"] > 0, pk["init"],
+                       self._loc_stage_split(w_prev)[0])
+        return xs - (xp + self.vcfg.dt * bicycle_rhs(xp, us, self.vcfg))
+
+    def _loc_stage_ce(self, w, pk):
+        xs, _, lam, _ = self._loc_stage_split(w)
+        a_self, _ = halfspaces(xs, self.vcfg,
+                               self.ocfg.use_delay_tightening)
+        at_l = jnp.einsum('ij,ki->kj', a_self, lam)             # [K, 2]
+        other = jnp.einsum('kij,ki->kj', pk["other_a"], pk["other_lij"])
+        return (pk["mask"][:, None] * (at_l + other)).reshape(-1)
+
+    def _loc_stage_ci(self, w, pk):
+        xs, us, lam, e = self._loc_stage_split(w)
+        a_self, b_self = halfspaces(xs, self.vcfg,
+                                    self.ocfg.use_delay_tightening)
+        sep = (-jnp.einsum('i,ki->k', b_self, lam)
+               - jnp.einsum('ki,ki->k', pk["other_b"], pk["other_lij"])
+               - self.ocfg.min_dis + e)
+        sep = pk["mask"] * sep + (1.0 - pk["mask"])
+        at_l = jnp.einsum('ij,ki->kj', a_self, lam)
+        nrm = 1.0 - jnp.sum(at_l ** 2, axis=-1)
+        boxes = _box_residuals(xs, us, self.ocfg, self.vcfg)
+        return jnp.concatenate([sep, nrm, lam.reshape(-1), e, boxes])
+
+    def _local_staged_params(self, bs: BarState, init_state, ref_win, rho,
+                             mask_veh):
+        """Per-(vehicle, stage) parameter pytree for the staged local solves
+        (same payload as :meth:`_local_params`, time-major per stage)."""
+        v, n = self.num_veh, self.ocfg.horizon
+        t = n - 1
+        first = jnp.zeros((t,), self.dtype).at[0].set(1.0)
+        return dict(
+            first=jnp.broadcast_to(first, (v, t)),
+            init=jnp.broadcast_to(init_state[:, None, :], (v, t, 5)),
+            ref=ref_win[:, 1:, :],                              # [V, T, 5]
+            z_bar=bs.z_bar,
+            lamb_bar=bs.lamb_bar,
+            other_a=jnp.moveaxis(bs.a_mat[self._nbr], 2, 1),    # [V, T, K, 4, 2]
+            other_b=jnp.moveaxis(bs.b[self._nbr], 2, 1),
+            other_lij=jnp.moveaxis(bs.lamb_ij[self._nbr, self._rev], 2, 1),
+            mask=jnp.broadcast_to(mask_veh[:, None, :], (v, t, self.K)),
+            rho=jnp.broadcast_to(rho, (v, t)))
+
     # -- edge problem (ref optimizer.py:239-328) -------------------------
 
     def _edge_split(self, x):
@@ -494,6 +694,62 @@ class ConsensusObcaPlanner:
                                (1000.0 - zs).reshape(-1)])
         return jnp.concatenate([sep.reshape(-1), nrm.reshape(-1),
                                 z[:, :, 5:].reshape(-1), box])
+
+    # -- per-step edge form (exact split: no temporal coupling) ------------
+
+    def _edge_lam_t(self, z):
+        """[V, F] one-step consensus row -> [V, K, 4] duals."""
+        return z[:, 5:].reshape(self.num_veh, self.K, 4)
+
+    # staged edge: stage = horizon step, NO link rows (the edge problem is
+    # temporally separable) — block-DIAGONAL KKT solved exactly per block,
+    # but ONE shared line search / barrier across all steps. Independent
+    # per-step solves (edge_mode='per_step') can pick inconsistent branches
+    # of this nonconvex problem on adjacent steps (jagged certificates that
+    # make the locals' hard (5b) rows infeasible); the shared globalization
+    # keeps the step coherent like the reference's joint IPOPT solve.
+    def _edge_stage_f(self, w, pk):
+        return self._edge_obj_t(w, pk)
+
+    def _edge_stage_ce_link(self, w_prev, w, pk):
+        return jnp.zeros((0,), w.dtype)
+
+    def _edge_stage_ce(self, w, pk):
+        return self._edge_ce_t(w, pk)
+
+    def _edge_stage_ci(self, w, pk):
+        return self._edge_ci_t(w, pk)
+
+    def _edge_obj_t(self, x, p):
+        z = x.reshape(self.num_veh, self.N_FULL)
+        return (-jnp.sum(z * p["lamb_bar"])
+                + p["rho"] / 2 * jnp.sum((p["local_fullx"] - z) ** 2))
+
+    def _edge_ce_t(self, x, p):
+        z = x.reshape(self.num_veh, self.N_FULL)
+        a_mat, _ = halfspaces(z[:, :5], self.vcfg,
+                              self.ocfg.use_delay_tightening)
+        at_l = jnp.einsum('vij,vki->vkj', a_mat, self._edge_lam_t(z))
+        rows = (at_l[self.idx_i, self._slot_i]
+                + at_l[self.idx_j, self._slot_j])               # [P, 2]
+        return (p["pair_mask"][:, None] * rows).reshape(-1)
+
+    def _edge_ci_t(self, x, p):
+        z = x.reshape(self.num_veh, self.N_FULL)
+        a_mat, b = halfspaces(z[:, :5], self.vcfg,
+                              self.ocfg.use_delay_tightening)
+        lam = self._edge_lam_t(z)
+        bl = jnp.einsum('vi,vki->vk', b, lam)
+        sep = (-bl[self.idx_i, self._slot_i]
+               - bl[self.idx_j, self._slot_j] - self.ocfg.min_dis)
+        sep = p["pair_mask"] * sep + (1.0 - p["pair_mask"])
+        at_l = jnp.einsum('vij,vki->vkj', a_mat, lam)
+        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)
+        zs = z[:, :5]
+        box = jnp.concatenate([(zs + 1000.0).reshape(-1),
+                               (1000.0 - zs).reshape(-1)])
+        return jnp.concatenate([sep, nrm.reshape(-1), z[:, 5:].reshape(-1),
+                                box])
 
     # -- bar-state plumbing ----------------------------------------------
 
@@ -653,15 +909,27 @@ class ConsensusObcaPlanner:
                 # reference semantics: re-initialize from the reference
                 # trajectory every iteration (local_initialize :50-55)
                 x0 = self._local_warm(ref_win, p)
-            sol = jax.vmap(lambda xx, pp: solve_nlp(self._local_nlp, xx, pp,
-                                                    self.scfg))(x0, p)
-            xs, us, lam, _ = jax.vmap(self._loc_split)(sol.x)
-            return xs, us, lam, sol
+            if self.use_staged:
+                sp = self._local_staged_params(bs, init_state, ref_win, rho,
+                                               mask_veh)
+                lsol = jax.vmap(lambda ww, pp: solve_staged(
+                    self._local_staged, ww, pp, self.scfg))(
+                        jax.vmap(self._loc_to_staged)(x0), sp)
+                x_out = jax.vmap(self._loc_from_staged)(lsol.w, init_state)
+            else:
+                lsol = jax.vmap(lambda xx, pp: solve_nlp(
+                    self._local_nlp, xx, pp, self.scfg))(x0, p)
+                x_out = lsol.x
+            xs, us, lam, _ = jax.vmap(self._loc_split)(x_out)
+            health = (jnp.mean(lsol.converged.astype(self.dtype)),
+                      jnp.max(lsol.kkt_error))
+            return xs, us, lam, x_out, health
 
         def body(c):
             bs = c["bs"]
             pair_mask, mask_veh = masks_from(bs)
-            xs, us, lam, sol = local_solve(bs, c["loc_x"], mask_veh)
+            xs, us, lam, loc_x, loc_health = local_solve(bs, c["loc_x"],
+                                             mask_veh)
             # bar_state_update (ref optimizer.py:205-222): broadcast
             # recomputed halfspaces + local states; lamb_ij per mode
             a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
@@ -676,11 +944,33 @@ class ConsensusObcaPlanner:
             # (smooth path), far better conditioned for the fixed-budget
             # solver — same optimum.
             local_fullx = self._zip_z(bs.local_x, bs.lamb_ij)
-            pe = dict(lamb_bar=bs.lamb_bar, local_fullx=local_fullx, rho=rho,
-                      pair_mask=pair_mask)
-            esol = solve_nlp(self._edge_nlp, bs.z_bar.reshape(-1), pe,
-                             self.scfg)
-            z_bar = self._edge_split(esol.x)
+            t_ax = n - 1
+            pe_t = dict(
+                lamb_bar=jnp.moveaxis(bs.lamb_bar, 1, 0),
+                local_fullx=jnp.moveaxis(local_fullx, 1, 0),
+                rho=jnp.broadcast_to(rho, (t_ax,)),
+                pair_mask=jnp.broadcast_to(pair_mask,
+                                           (t_ax,) + pair_mask.shape))
+            z0_t = jnp.moveaxis(bs.z_bar, 1, 0).reshape(t_ax, -1)
+            if self.edge_mode == "staged":
+                # block-diagonal staged solve: per-block exact factorization
+                # + one shared globalization across steps (see _edge_stage_f)
+                esol = solve_staged(self._edge_staged, z0_t, pe_t, self.scfg)
+                z_bar = jnp.moveaxis(
+                    esol.w.reshape(t_ax, v, self.N_FULL), 0, 1)
+            elif self.edge_mode == "per_step":
+                # fully independent tiny NLPs, vmapped (exact split, but can
+                # lose branch coherence across steps — see _edge_stage_f)
+                esol = jax.vmap(lambda zz, pp: solve_nlp(
+                    self._edge_nlp_t, zz, pp, self.scfg))(z0_t, pe_t)
+                z_bar = jnp.moveaxis(
+                    esol.x.reshape(t_ax, v, self.N_FULL), 0, 1)
+            else:
+                pe = dict(lamb_bar=bs.lamb_bar, local_fullx=local_fullx,
+                          rho=rho, pair_mask=pair_mask)
+                esol = solve_nlp(self._edge_nlp, bs.z_bar.reshape(-1), pe,
+                                 self.scfg)
+                z_bar = self._edge_split(esol.x)
             bs = bs._replace(z_bar=z_bar)
             if self.lamb_ij_mode == "track_edge":
                 # neighbours plan against the CONSENSUS certificates: the
@@ -700,18 +990,34 @@ class ConsensusObcaPlanner:
                 pos[self.idx_i] - pos[self.idx_j], axis=-1))
             dual_new = update_dual(
                 DualState(dual=bs.lamb_bar, sum_err=c["sum_err"],
-                          diff_val=c["diff_val"], rho=rho),
+                          diff_val=c["diff_val"],
+                          rho=jnp.asarray(
+                              ocfg.rho if ocfg.dual_rho is None
+                              else ocfg.dual_rho, self.dtype)),
                 local_fullx - z_bar, d_min, self.dual_cfg)
             bs = bs._replace(lamb_bar=dual_new.dual)
 
             # residuals (ref driver decentralized_overtaking_ADMM.py:82-90):
-            # l1-ish norms of the control / lamb_bar deltas
+            # l1-ish norms of the control / lamb_bar deltas. The dual delta
+            # is normalized by the dual step size so it measures the actual
+            # consensus gap ||local - z||_1 independent of rho — at the
+            # reference's rho = 1 the two definitions coincide, at rho >> 1
+            # the unnormalized delta would demand a gap 1/rho times smaller
             primal = jnp.sum(jnp.abs(us - c["us_prev"]))
-            dual = jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]))
+            dual = (jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]))
+                    / jnp.maximum(dual_new.rho, 1.0))
             done = jnp.logical_and(primal <= ocfg.primal_thres,
                                    dual <= ocfg.dual_thres)
+            # solver health of THIS iteration (observability: fraction of
+            # local/edge NLPs converged + worst KKT error — SURVEY §5 asks
+            # for runtime self-checks; these expose fixed-budget solve
+            # failures the reference's IPOPT prints would have shown)
+            edge_conv = jnp.mean(esol.converged.astype(self.dtype))
+            edge_kkt = jnp.max(esol.kkt_error)
+            nlp_ok = jnp.stack([loc_health[0], edge_conv])
+            nlp_kkt = jnp.stack([loc_health[1], edge_kkt])
             return dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
-                        loc_x=sol.x,
+                        loc_x=loc_x, nlp_ok=nlp_ok, nlp_kkt=nlp_kkt,
                         sum_err=dual_new.sum_err, diff_val=dual_new.diff_val,
                         it=c["it"] + 1, done=done, primal=primal, dual=dual)
 
@@ -730,6 +1036,8 @@ class ConsensusObcaPlanner:
                   loc_x=self._local_warm(ref_win, p_init),
                   sum_err=zeros_f, diff_val=zeros_f,
                   it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+                  nlp_ok=jnp.ones((2,), self.dtype),
+                  nlp_kkt=jnp.zeros((2,), self.dtype),
                   primal=jnp.asarray(jnp.inf, self.dtype),
                   dual=jnp.asarray(jnp.inf, self.dtype))
         out = jax.lax.while_loop(cond, body, c0)
@@ -738,7 +1046,8 @@ class ConsensusObcaPlanner:
         next_state = out["xs"][:, 1, :]
         converged_flag = self.check_converge(out["bs"])
         return (next_state, self.shift_bar_state(out["bs"]), out["it"],
-                out["primal"], out["dual"], converged_flag)
+                out["primal"], out["dual"], converged_flag,
+                out["nlp_ok"], out["nlp_kkt"])
 
     def run_scan(self, n_steps: Optional[int] = None):
         """Whole MPC run as ONE jitted ``lax.scan`` over steps (no per-step
@@ -754,7 +1063,7 @@ class ConsensusObcaPlanner:
 
         def step(carry, k):
             st, bs_c = carry
-            st, bs_c, it, pr, du, cv = self._mpc_step_impl(st, bs_c, k)
+            st, bs_c, it, pr, du, cv, _, _ = self._mpc_step_impl(st, bs_c, k)
             return (st, bs_c), (st, it, pr, du, cv)
 
         if not hasattr(self, "_run_scan_jit"):
@@ -787,11 +1096,16 @@ class ConsensusObcaPlanner:
                                                  (init_state, bs))
         states, iters, residuals, flags = [np.asarray(init_state)], [], [], []
         for t in range(start, n_steps):
-            init_state, bs, it, pr, du, cv = self._mpc_step(
+            (init_state, bs, it, pr, du, cv, nlp_ok,
+             nlp_kkt) = self._mpc_step(
                 init_state, bs, jnp.asarray(t, jnp.int32))
             states.append(np.asarray(init_state))
             iters.append(int(it))
-            residuals.append((float(pr), float(du)))
+            # residual row: (primal, dual, loc_conv_frac, edge_conv_frac,
+            # loc_kkt_max, edge_kkt_max) — the last four are solver health
+            ok, kk = np.asarray(nlp_ok), np.asarray(nlp_kkt)
+            residuals.append((float(pr), float(du), float(ok[0]),
+                              float(ok[1]), float(kk[0]), float(kk[1])))
             flags.append(bool(cv))
             if checkpoint_path is not None:
                 from ..utils.checkpoint import save_carry

@@ -291,6 +291,28 @@ class StepRecord(NamedTuple):
     dual_max: jnp.ndarray
 
 
+class AdmmCarry(NamedTuple):
+    """Cross-MPC-step ADMM warm-start state of the pairwise engine.
+
+    The reference zeroes all consensus cells and duals at every MPC step
+    (``casadi/main.py:44-56``), so each step's inner loop re-discovers the
+    same conflict from scratch. Carrying the (time-shifted) cells across
+    steps — the same idea as the OBCA line's ``iterate_next_state`` bar-state
+    shift (``decentralized/optimizer.py:337-344``) — warm-starts the dual
+    controller and cuts iterations-to-convergence in the conflict window.
+    Enable with ``PiAdmmEngine(..., carry_admm_state=True)`` (documented
+    deviation; default False keeps reference semantics).
+    """
+
+    hat: jnp.ndarray        # [P, 2, 2, H+1] per-pair consensus cells
+    hat_u: jnp.ndarray      # [P, 2, H] edge-control warm starts
+    ey: jnp.ndarray         # [P, m] edge QP dual warm starts
+    dual: jnp.ndarray       # [P, 2, 2, H+1] ADMM duals
+    sum_err: jnp.ndarray    # PI integrator state
+    diff_val: jnp.ndarray   # anti-windup back-calculation feed
+    active: jnp.ndarray     # [P] pairs active at the previous step's end
+
+
 class PiAdmmEngine:
     """Receding-horizon PI-ADMM planner (classic or pairwise layout).
 
@@ -306,6 +328,7 @@ class PiAdmmEngine:
                  n_sqp: int = 2,
                  al_mask_active_pairs: bool = True,
                  pair_budget: int = 10 ** 9,
+                 carry_admm_state: bool = False,
                  dtype=jnp.float64):
         from .. import scenarios
         self.cfg = cfg
@@ -318,6 +341,11 @@ class PiAdmmEngine:
         self.layout = layout
         self.n_sqp = n_sqp
         self.al_mask_active_pairs = al_mask_active_pairs
+        # carry (time-shifted) consensus cells + dual-controller state across
+        # MPC steps (pairwise layout only; see AdmmCarry)
+        self.carry_admm_state = carry_admm_state
+        if carry_admm_state and layout != "pairwise":
+            raise ValueError("carry_admm_state requires layout='pairwise'")
         # max pairs solved per iteration (closest-first); pairs beyond the
         # budget are treated as inactive that iteration
         self.pair_budget = pair_budget
@@ -329,6 +357,7 @@ class PiAdmmEngine:
         self.statics = _local_statics(cfg, dtype)
         self.n_pairs = num_pairs(cfg.num_veh)
         self._mpc_step = jax.jit(self._mpc_step_impl)
+        self._mpc_step_carry = jax.jit(self._mpc_step_carry_impl)
 
     # -- shared pieces ---------------------------------------------------
 
@@ -368,12 +397,41 @@ class PiAdmmEngine:
         return unicycle_rollout_edge(xt, u, self.spd, self.cfg.dt,
                                      self.cfg.wheel_base)
 
+    # -- cross-step ADMM carry (pairwise layout) ---------------------------
+
+    def init_admm_carry(self) -> AdmmCarry:
+        """Zero carry ≙ the reference's per-step re-initialization."""
+        p, h1 = self.n_pairs, self.cfg.horizon + 1
+        cell = jnp.zeros((p, 2, 2, h1), self.dtype)
+        return AdmmCarry(hat=cell,
+                         hat_u=jnp.zeros((p, 2, self.cfg.horizon), self.dtype),
+                         ey=jnp.zeros((p, edge_qp_m(self.cfg)), self.dtype),
+                         dual=cell, sum_err=cell, diff_val=cell,
+                         active=jnp.zeros(p, bool))
+
+    def shift_admm_carry(self, c: AdmmCarry) -> AdmmCarry:
+        """Advance the carry one MPC step: drop t=0, duplicate the tail on
+        every horizon-indexed axis (the PI-ADMM analogue of the OBCA line's
+        ``iterate_next_state``)."""
+        sh = lambda a: jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        return AdmmCarry(hat=sh(c.hat), hat_u=sh(c.hat_u), ey=c.ey,
+                         dual=sh(c.dual), sum_err=sh(c.sum_err),
+                         diff_val=sh(c.diff_val), active=c.active)
+
     # -- one MPC step (jitted) -------------------------------------------
 
     def _mpc_step_impl(self, xt, u_warm, step_idx):
         if self.layout == "classic":
             return self._mpc_step_classic(xt, u_warm, step_idx)
-        return self._mpc_step_pairwise(xt, u_warm, step_idx)
+        xt_next, u, rec, _ = self._mpc_step_pairwise(xt, u_warm, step_idx,
+                                                     None)
+        return xt_next, u, rec
+
+    def _mpc_step_carry_impl(self, xt, u_warm, admm: AdmmCarry, step_idx):
+        """Pairwise MPC step threading the cross-step ADMM carry."""
+        xt_next, u, rec, admm_out = self._mpc_step_pairwise(
+            xt, u_warm, step_idx, self.shift_admm_carry(admm))
+        return xt_next, u, admm_out, rec
 
     def _mpc_step_classic(self, xt, u_warm, step_idx):
         cfg = self.cfg
@@ -445,7 +503,8 @@ class PiAdmmEngine:
         return self._finish_step(xt, out["u"], out["it"], out["r"], out["s"],
                                  out["dual"])
 
-    def _mpc_step_pairwise(self, xt, u_warm, step_idx):
+    def _mpc_step_pairwise(self, xt, u_warm, step_idx,
+                           admm0: Optional[AdmmCarry] = None):
         cfg = self.cfg
         v, h, p = cfg.num_veh, cfg.horizon, self.n_pairs
         h1 = h + 1
@@ -478,11 +537,15 @@ class PiAdmmEngine:
             return flat[side_of[..., 0], side_of[..., 1]]
 
         k_budget = min(self.pair_budget, p)
+        if admm0 is None:
+            admm0 = self.init_admm_carry()
+        dual0 = DualState(dual=admm0.dual, sum_err=admm0.sum_err,
+                          diff_val=admm0.diff_val, rho=dual0.rho)
         carry0 = dict(u=u_warm, pos=jnp.zeros((v, 2, h1), self.dtype),
-                      hat=cell0, hat_u=jnp.zeros((p, 2, h), self.dtype),
-                      ey=jnp.zeros((p, edge_qp_m(cfg)), self.dtype),
-                      last_hat=cell0, dual=dual0,
-                      ever=jnp.zeros(p, bool), it=jnp.asarray(0, jnp.int32),
+                      hat=admm0.hat, hat_u=admm0.hat_u,
+                      ey=admm0.ey,
+                      last_hat=admm0.hat, dual=dual0,
+                      ever=admm0.active, it=jnp.asarray(0, jnp.int32),
                       done=jnp.asarray(False),
                       r=jnp.asarray(0.0, self.dtype),
                       s=jnp.asarray(0.0, self.dtype))
@@ -564,7 +627,13 @@ class PiAdmmEngine:
                                       c["last_hat"][:, 0], dual.rho, active)
             none_active = jnp.logical_and(jnp.sum(active) == 0,
                                           jnp.logical_not(c["ever"].any()))
-            converged = jnp.logical_and(r <= cfg.eps_pri, s <= cfg.eps_dual)
+            # per-edge tolerance scaling (see PiAdmmConfig.eps_per_edge): the
+            # residual sums one 2*||.|| term per active edge, so the stop
+            # threshold grows with the active-edge count
+            scale = (jnp.maximum(jnp.sum(active.astype(r.dtype)), 1.0)
+                     if cfg.eps_per_edge else 1.0)
+            converged = jnp.logical_and(r <= cfg.eps_pri * scale,
+                                        s <= cfg.eps_dual * scale)
             done = jnp.logical_or(none_active, converged)
             return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, ey=ey,
                         last_hat=hat, dual=dual, ever=ever, it=c["it"] + 1,
@@ -575,8 +644,14 @@ class PiAdmmEngine:
                                    c["it"] < cfg.iter_num)
 
         out = jax.lax.while_loop(cond, body, carry0)
-        return self._finish_step(xt, out["u"], out["it"], out["r"], out["s"],
-                                 out["dual"])
+        admm_out = AdmmCarry(hat=out["hat"], hat_u=out["hat_u"], ey=out["ey"],
+                             dual=out["dual"].dual,
+                             sum_err=out["dual"].sum_err,
+                             diff_val=out["dual"].diff_val,
+                             active=out["ever"])
+        step_out = self._finish_step(xt, out["u"], out["it"], out["r"],
+                                     out["s"], out["dual"])
+        return step_out + (admm_out,)
 
     def _finish_step(self, xt, u, iters, r, s, dual: DualState):
         """Apply the first control and advance the plant
@@ -611,16 +686,22 @@ class PiAdmmEngine:
         n_steps = cfg.n_mpc_steps if n_steps is None else n_steps
 
         def step(carry, k):
-            xt_c, u_c = carry
+            xt_c, u_c, admm = carry
             u_c = jnp.concatenate([u_c[:, 1:], u_c[:, -1:]], axis=1)
-            xt_c, u_c, rec = self._mpc_step_impl(xt_c, u_c, k)
-            return (xt_c, u_c), rec
+            if self.carry_admm_state:
+                xt_c, u_c, admm, rec = self._mpc_step_carry_impl(
+                    xt_c, u_c, admm, k)
+            else:
+                xt_c, u_c, rec = self._mpc_step_impl(xt_c, u_c, k)
+            return (xt_c, u_c, admm), rec
 
+        admm0 = (self.init_admm_carry() if self.layout == "pairwise"
+                 else jnp.zeros(()))
         if not hasattr(self, "_run_scan_jit"):
             self._run_scan_jit = jax.jit(
                 lambda c0, ks: jax.lax.scan(step, c0, ks))
-        (_, _), recs = self._run_scan_jit(
-            (xt, u), jnp.arange(n_steps, dtype=jnp.int32))
+        _, recs = self._run_scan_jit(
+            (xt, u, admm0), jnp.arange(n_steps, dtype=jnp.int32))
         return jax.device_get(recs)
 
     def run(self, xt0: Optional[np.ndarray] = None,
@@ -637,19 +718,31 @@ class PiAdmmEngine:
         xt = jnp.asarray(xt0, self.dtype)
         u = jnp.zeros((cfg.num_veh, cfg.horizon), self.dtype)
         n_steps = cfg.n_mpc_steps if n_steps is None else n_steps
+        admm = (self.init_admm_carry() if self.carry_admm_state else None)
         start = 0
         if checkpoint_path is not None and resume:
             import os
             if os.path.exists(checkpoint_path):
                 from ..utils.checkpoint import load_carry
-                (xt, u), start = load_carry(checkpoint_path, (xt, u))
+                like = (xt, u) if admm is None else (xt, u, admm)
+                restored, start = load_carry(checkpoint_path, like)
+                if admm is None:
+                    xt, u = restored
+                else:
+                    xt, u, admm = restored
         records = []
         for step in range(start, n_steps):
             # shift-warm-start (ref main.py:85: init_u = [u[1:], u[-1]])
             u = jnp.concatenate([u[:, 1:], u[:, -1:]], axis=1)
-            xt, u, rec = self._mpc_step(xt, u, jnp.asarray(step, jnp.int32))
+            if self.carry_admm_state:
+                xt, u, admm, rec = self._mpc_step_carry(
+                    xt, u, admm, jnp.asarray(step, jnp.int32))
+            else:
+                xt, u, rec = self._mpc_step(xt, u,
+                                            jnp.asarray(step, jnp.int32))
             records.append(jax.device_get(rec))
             if checkpoint_path is not None:
                 from ..utils.checkpoint import save_carry
-                save_carry(checkpoint_path, (xt, u), step + 1)
+                carry = (xt, u) if admm is None else (xt, u, admm)
+                save_carry(checkpoint_path, carry, step + 1)
         return jax.tree.map(lambda *xs: np.stack(xs), *records)

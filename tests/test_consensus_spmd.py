@@ -16,6 +16,10 @@ from dlp_admm_tpu.parallel.mesh import planner_mesh
 
 
 def _setup(num_veh, horizon, n_scen, **planner_kw):
+    # the SPMD step shards the DENSE local/edge solvers, so equivalence is
+    # asserted against the planner in dense mode
+    planner_kw.setdefault("use_staged", False)
+    planner_kw.setdefault("edge_mode", "joint")
     pl = ConsensusObcaPlanner(
         ObcaConfig(num_veh=num_veh, horizon=horizon, max_admm_iters=2,
                    rho=100.0),
