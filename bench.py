@@ -30,7 +30,8 @@ import numpy as np
 # quality gates for the benched trajectory (see tests/test_bench_quality.py
 # for the committed regression values; these are the never-regress floors)
 MIN_DIST_GATE = 1.0       # m; vehicles start ~3.3 m apart laterally
-CONV_FRAC_GATE = 0.50     # fraction of (scenario, step) lanes converged
+CONV_FRAC_GATE = 0.90     # fraction of (scenario, step) lanes converged
+                          # (raised from 0.50; VERDICT r2 #4)
 
 
 def main():
@@ -46,18 +47,20 @@ def main():
 
     num_veh = 16
     horizon = 30
-    n_scen = 32
-    n_steps = 4
+    n_scen = 128      # the chip is latency-bound at 32 scenarios; 128 lanes
+    n_steps = 4       # raise throughput at near-constant per-lane wall
 
     speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
-    # iter_num=40: headroom for the conflict-window tail; the cross-step
-    # ADMM carry (AdmmCarry) warm-starts the dual controller so most lanes
-    # exit far earlier — converged_fraction gates the result (VERDICT r2 #4)
+    # tuned on-TPU (round 3 probes): cross-step consensus-cell carry
+    # (hat-only AdmmCarry) + per-active-edge tolerance scaling + windup_sat
+    # 200 (the reference's 20 is sized for its 2-vehicle errors; at 16
+    # vehicles the PI integrator rails on it) -> converged_fraction 0.92
+    # at cap 30 vs 0.61 in round 2
     cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
-                       dis_thres=2.0, iter_num=40, eps_pri=1.0, eps_dual=1.0,
-                       stop_needs_clearance=False)
+                       dis_thres=2.0, iter_num=30, eps_pri=1.0, eps_dual=1.0,
+                       stop_needs_clearance=False, eps_per_edge=True)
     refs, xt0 = pi_admm_overtake_refs(cfg)
-    eng = PiAdmmEngine(cfg, DualUpdateConfig(),
+    eng = PiAdmmEngine(cfg, DualUpdateConfig(windup_sat=200.0),
                        SolverConfig(qp_iters=16, qp_tol=1e-4, qp_segments=1,
                                     qp_ns_iters=10, qp_unroll=16),
                        layout="pairwise", refs=refs, n_sqp=1, pair_budget=24,

@@ -235,8 +235,8 @@ class SolverConfig:
     # dominates on TPU at planner batch sizes; unrolling lets XLA fuse the
     # elementwise chains across iterations
     qp_unroll: int = 1
-    # fuse each iteration segment into one Pallas TPU kernel (see
-    # solvers/qp_pallas.py); `interpret` runs the kernel in interpreter mode
-    # for CPU testing
-    qp_use_pallas: bool = False
-    qp_pallas_interpret: bool = False
+    # (a fused per-QP Pallas iteration kernel was built and A/B-measured in
+    # round 3 — tools/exp_qp_ab.py: 0.10 ms XLA vs 39 ms Pallas on the bench
+    # local-QP shape [B=2048, n=30], 10.6 vs 26.2 ms on the edge shape —
+    # the 128-lane padding of tiny per-QP operands loses to XLA's batched
+    # fused matmuls, so the kernel was removed; the A/B tool is kept)

@@ -401,6 +401,8 @@ class ConsensusObcaPlanner:
                  local_warm_mode: str = "previous",
                  gate_pairs: bool = False, gate_thres: float = 10.0,
                  use_staged: bool = True, edge_mode: str = "staged",
+                 lamb_bar_decay: float = 0.5,
+                 lamb_ij_relax: float = 0.3,
                  dtype=jnp.float64):
         from .. import scenarios
         from ..config import DualStrategy, DualUpdateConfig, WindupMode
@@ -470,6 +472,21 @@ class ConsensusObcaPlanner:
         # reference nevertheless hands IPOPT one joint edge problem
         # (optimizer.py:309-317); the split is exact, not an approximation.
         self.use_staged = use_staged
+        # lamb_bar carry factor across MPC steps: 1.0 keeps the ADMM duals
+        # (the reference's iterate_next_state shifts lamb_bar unchanged,
+        # optimizer.py:341), 0.0 resets them each step, in between decays.
+        # Default 0.5 (documented deviation, tuned round 3): a stale
+        # saturated dual from a past conflict otherwise keeps forcing
+        # consensus gaps long after the vehicles separated — measured on the
+        # 42-step overtaking run: res_ok 30/42 (carry) vs 37/42 (0.5)
+        self.lamb_bar_decay = float(lamb_bar_decay)
+        # track_edge certificate relaxation: lamb_ij <- relax * edge_lam +
+        # (1 - relax) * lamb_ij_prev. 1.0 adopts the consensus certificates
+        # outright; < 1 damps the pass-left/pass-right branch flipping that
+        # makes the hardest conflict-window steps oscillate (ADMM on this
+        # nonconvex coupling has no convergence guarantee; damping the
+        # exchanged certificates is the standard stabilizer)
+        self.lamb_ij_relax = float(lamb_ij_relax)
         assert edge_mode in ("joint", "per_step", "staged")
         self.edge_mode = edge_mode
         self._local_staged = StagedNLP(self._loc_stage_f,
@@ -980,7 +997,10 @@ class ConsensusObcaPlanner:
                 # (A^T lam = 0 rays give state-independent values and hence
                 # zero avoidance force). Default mode; 'frozen'/'track_local'
                 # reproduce the reference's exchanges.
-                bs = bs._replace(lamb_ij=self._edge_lam(z_bar))
+                lam_e = self._edge_lam(z_bar)
+                th = self.lamb_ij_relax
+                bs = bs._replace(
+                    lamb_ij=th * lam_e + (1.0 - th) * bs.lamb_ij)
 
             # dual update on lamb_bar (ref lambda_update optimizer.py:330-335
             # is plain ascent, rho = 1; strategy/windup configurable — see
@@ -1045,6 +1065,9 @@ class ConsensusObcaPlanner:
         # MPC advance: next state from the local solution (driver :99-102)
         next_state = out["xs"][:, 1, :]
         converged_flag = self.check_converge(out["bs"])
+        if self.lamb_bar_decay != 1.0:
+            out["bs"] = out["bs"]._replace(
+                lamb_bar=self.lamb_bar_decay * out["bs"].lamb_bar)
         return (next_state, self.shift_bar_state(out["bs"]), out["it"],
                 out["primal"], out["dual"], converged_flag,
                 out["nlp_ok"], out["nlp_kkt"])

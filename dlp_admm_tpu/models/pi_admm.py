@@ -296,12 +296,18 @@ class AdmmCarry(NamedTuple):
 
     The reference zeroes all consensus cells and duals at every MPC step
     (``casadi/main.py:44-56``), so each step's inner loop re-discovers the
-    same conflict from scratch. Carrying the (time-shifted) cells across
-    steps — the same idea as the OBCA line's ``iterate_next_state`` bar-state
-    shift (``decentralized/optimizer.py:337-344``) — warm-starts the dual
-    controller and cuts iterations-to-convergence in the conflict window.
-    Enable with ``PiAdmmEngine(..., carry_admm_state=True)`` (documented
-    deviation; default False keeps reference semantics).
+    same conflict from scratch. Carrying the (time-shifted) consensus cells
+    across steps — the same idea as the OBCA line's ``iterate_next_state``
+    bar-state shift (``decentralized/optimizer.py:337-344``) — warm-starts
+    the edge problems and cuts iterations-to-convergence in the conflict
+    window. Enable with ``PiAdmmEngine(..., carry_admm_state=True)``
+    (documented deviation; default False keeps reference semantics).
+
+    The PI dual-controller state (``dual``/``sum_err``/``diff_val``) is
+    carried only with ``carry_dual_state=True``: measured on the 16-vehicle
+    bench it HURTS (the controller re-winds from a stale operating point —
+    0.42-0.62 converged fraction vs 0.74+ with cells-only carry), so the
+    default resets it per step like the reference.
     """
 
     hat: jnp.ndarray        # [P, 2, 2, H+1] per-pair consensus cells
@@ -329,6 +335,7 @@ class PiAdmmEngine:
                  al_mask_active_pairs: bool = True,
                  pair_budget: int = 10 ** 9,
                  carry_admm_state: bool = False,
+                 carry_dual_state: bool = False,
                  dtype=jnp.float64):
         from .. import scenarios
         self.cfg = cfg
@@ -341,9 +348,10 @@ class PiAdmmEngine:
         self.layout = layout
         self.n_sqp = n_sqp
         self.al_mask_active_pairs = al_mask_active_pairs
-        # carry (time-shifted) consensus cells + dual-controller state across
-        # MPC steps (pairwise layout only; see AdmmCarry)
+        # carry (time-shifted) consensus cells across MPC steps; optionally
+        # also the dual-controller state (pairwise layout only; see AdmmCarry)
         self.carry_admm_state = carry_admm_state
+        self.carry_dual_state = carry_dual_state
         if carry_admm_state and layout != "pairwise":
             raise ValueError("carry_admm_state requires layout='pairwise'")
         # max pairs solved per iteration (closest-first); pairs beyond the
@@ -412,11 +420,16 @@ class PiAdmmEngine:
     def shift_admm_carry(self, c: AdmmCarry) -> AdmmCarry:
         """Advance the carry one MPC step: drop t=0, duplicate the tail on
         every horizon-indexed axis (the PI-ADMM analogue of the OBCA line's
-        ``iterate_next_state``)."""
+        ``iterate_next_state``). The dual-controller state is reset unless
+        ``carry_dual_state`` (see class docstring of :class:`AdmmCarry`)."""
         sh = lambda a: jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        if self.carry_dual_state:
+            dual, sum_err, diff_val = sh(c.dual), sh(c.sum_err), sh(c.diff_val)
+        else:
+            dual = sum_err = diff_val = jnp.zeros_like(c.dual)
         return AdmmCarry(hat=sh(c.hat), hat_u=sh(c.hat_u), ey=c.ey,
-                         dual=sh(c.dual), sum_err=sh(c.sum_err),
-                         diff_val=sh(c.diff_val), active=c.active)
+                         dual=dual, sum_err=sum_err,
+                         diff_val=diff_val, active=c.active)
 
     # -- one MPC step (jitted) -------------------------------------------
 

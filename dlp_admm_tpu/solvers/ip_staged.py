@@ -321,21 +321,31 @@ def _solve_staged_f32(snlp, w0, p, cfg, yl0, ys0, z0):
         u_blk = jnp.concatenate([u_top, zed((t, ml + ms, bb), dtype)], axis=1)
         rhs = jnp.concatenate([rhs_x, -c_l, -c_s], axis=1)    # [T, B]
 
+        u_pad = jnp.concatenate([u_blk[:t - 1],
+                                 jnp.zeros((1, bb, bb), dtype)], axis=0)
+        u_prev = jnp.concatenate([jnp.zeros((1, bb, bb), dtype),
+                                  u_pad[:-1]], axis=0)
+
+        def tridiag_residual(vec):
+            nxt = jnp.concatenate([vec[1:], jnp.zeros((1, bb), dtype)],
+                                  axis=0)
+            prv = jnp.concatenate([jnp.zeros((1, bb), dtype), vec[:-1]],
+                                  axis=0)
+            return (jnp.einsum('tij,tj->ti', d_blk, vec)
+                    + jnp.einsum('tij,tj->ti', u_pad, nxt)
+                    + jnp.einsum('tji,tj->ti', u_prev, prv) - rhs)
+
         sol = block_thomas_solve(d_blk, u_blk, rhs)           # [T, B]
+        # one iterative-refinement pass: Thomas without pivoting in f32
+        # (the TPU path) loses enough accuracy on ill-conditioned stages to
+        # stall the line search; the correction costs one extra block solve
+        sol = sol - block_thomas_solve(d_blk, u_blk, tridiag_residual(sol))
         # Solve verification: block-Thomas has NO pivoting across blocks, so
         # a (near-)singular leading block on a hard nonconvex instance yields
         # finite garbage the NaN guard misses — one tridiagonal matvec checks
         # the residual; a bad solve becomes a zero step + delta escalation
         # (the dense solver gets this robustness from LU partial pivoting).
-        u_pad = jnp.concatenate([u_blk[:t - 1],
-                                 jnp.zeros((1, bb, bb), dtype)], axis=0)
-        nxt = jnp.concatenate([sol[1:], jnp.zeros((1, bb), dtype)], axis=0)
-        prv = jnp.concatenate([jnp.zeros((1, bb), dtype), sol[:-1]], axis=0)
-        u_prev = jnp.concatenate([jnp.zeros((1, bb, bb), dtype),
-                                  u_pad[:-1]], axis=0)
-        lin_res = (jnp.einsum('tij,tj->ti', d_blk, sol)
-                   + jnp.einsum('tij,tj->ti', u_pad, nxt)
-                   + jnp.einsum('tji,tj->ti', u_prev, prv) - rhs)
+        lin_res = tridiag_residual(sol)
         res_tol = 1e-4 * (1.0 + jnp.max(jnp.abs(rhs), initial=0.0))
         bad = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(sol))),

@@ -213,48 +213,34 @@ def _solve_qp_f32(p_mat, q, a_mat, lo, hi, cfg, x0, y0) -> QPSolution:
         else:
             kkt_inv = _ns_refresh(kkt, kkt_inv)
 
-        if cfg.qp_use_pallas:
-            # fused-kernel path: the whole segment runs inside one Pallas
-            # program; convergence is checked per segment (a converged
-            # iterate is a fixed point, so the extra in-segment iterations
-            # are no-ops numerically)
-            from .qp_pallas import osqp_iterate_fused
-            x_new, z_new, y_new = osqp_iterate_fused(
-                kkt_inv, as_, qs, los, his, x, z, y, rho,
-                jnp.asarray(sigma, dtype), jnp.asarray(alpha, dtype),
-                seg_len, interpret=cfg.qp_pallas_interpret)
-            keep = lambda new, old: jnp.where(done, old, new)
-            x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
-            prim, dual = unscaled_residuals(x, z, y)
-            now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
-            iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
-            done = jnp.logical_or(done, now_done)
-        else:
-            # residuals are only evaluated at segment boundaries: checking
-            # them every iteration costs three extra reads of the (large)
-            # constraint tensor per iteration — the measured HBM-bandwidth
-            # bottleneck of the batched edge QPs. A converged iterate is a
-            # fixed point, so the extra in-segment iterations are no-ops.
-            def step(carry, _):
-                x, z, y = carry
-                rhs = sigma * x - qs + as_.T @ (rho * z - y)
-                x_t = kkt_inv @ rhs
-                z_t = as_ @ x_t
-                x_new = alpha * x_t + (1 - alpha) * x
-                z_relax = alpha * z_t + (1 - alpha) * z
-                z_new = jnp.clip(z_relax + y / rho, los, his)
-                y_new = y + rho * (z_relax - z_new)
-                return (x_new, z_new, y_new), None
+        # residuals are only evaluated at segment boundaries: checking
+        # them every iteration costs three extra reads of the (large)
+        # constraint tensor per iteration — the measured HBM-bandwidth
+        # bottleneck of the batched edge QPs. A converged iterate is a
+        # fixed point, so the extra in-segment iterations are no-ops.
+        # (A fused Pallas segment kernel was A/B-measured and removed in
+        # round 3 — see tools/exp_qp_ab.py and SolverConfig's note: the
+        # XLA batched path wins by 2.5-390x at planner shapes.)
+        def step(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - qs + as_.T @ (rho * z - y)
+            x_t = kkt_inv @ rhs
+            z_t = as_ @ x_t
+            x_new = alpha * x_t + (1 - alpha) * x
+            z_relax = alpha * z_t + (1 - alpha) * z
+            z_new = jnp.clip(z_relax + y / rho, los, his)
+            y_new = y + rho * (z_relax - z_new)
+            return (x_new, z_new, y_new), None
 
-            (x_new, z_new, y_new), _ = jax.lax.scan(
-                step, (x, z, y), None, length=seg_len,
-                unroll=min(cfg.qp_unroll, seg_len))
-            keep = lambda new, old: jnp.where(done, old, new)
-            x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
-            prim, dual = unscaled_residuals(x, z, y)
-            now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
-            iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
-            done = jnp.logical_or(done, now_done)
+        (x_new, z_new, y_new), _ = jax.lax.scan(
+            step, (x, z, y), None, length=seg_len,
+            unroll=min(cfg.qp_unroll, seg_len))
+        keep = lambda new, old: jnp.where(done, old, new)
+        x, z, y = keep(x_new, x), keep(z_new, z), keep(y_new, y)
+        prim, dual = unscaled_residuals(x, z, y)
+        now_done = jnp.logical_and(prim < cfg.qp_tol, dual < cfg.qp_tol)
+        iters = iters + seg_len * jnp.logical_not(done).astype(jnp.int32)
+        done = jnp.logical_or(done, now_done)
 
         # adaptive rho (OSQP §5.2): balance scaled residual ratio
         prim_s = jnp.max(jnp.abs(as_ @ x - z))

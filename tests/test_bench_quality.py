@@ -25,17 +25,21 @@ def run_bench_slice(num_veh=8, horizon=16, n_scen=2, n_steps=6, seed=0,
     speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
     cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
                        dis_thres=2.0, iter_num=30, eps_pri=1.0, eps_dual=1.0,
-                       stop_needs_clearance=False)
+                       stop_needs_clearance=False, eps_per_edge=True)
     refs, xt0 = pi_admm_overtake_refs(cfg)
     if start_at_pass:
         xt0 = xt0.copy()
         xt0[0::2, 0] = xt0[1::2, 0] - 2.0
-    eng = PiAdmmEngine(cfg, DualUpdateConfig(),
+    eng = PiAdmmEngine(cfg, DualUpdateConfig(windup_sat=200.0),
                        SolverConfig(qp_iters=16, qp_tol=1e-4, qp_segments=1,
                                     qp_ns_iters=10, qp_unroll=16),
                        layout="pairwise", refs=refs, n_sqp=1, pair_budget=24,
-                       dtype=jnp.float32)
-    step = jax.jit(jax.vmap(eng._mpc_step_impl, in_axes=(0, 0, None)))
+                       carry_admm_state=True, dtype=jnp.float32)
+    step = jax.jit(jax.vmap(eng._mpc_step_carry_impl,
+                            in_axes=(0, 0, 0, None)))
+    admm = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_scen,) + a.shape),
+        eng.init_admm_carry())
     rng = np.random.default_rng(seed)
     xt = jnp.asarray(
         xt0[None] + np.concatenate([
@@ -45,7 +49,7 @@ def run_bench_slice(num_veh=8, horizon=16, n_scen=2, n_steps=6, seed=0,
     states, total_iters, capped = [np.asarray(xt)], 0, 0
     for k in range(n_steps):
         u = jnp.concatenate([u[:, :, 1:], u[:, :, -1:]], axis=2)
-        xt, u, rec = step(xt, u, jnp.asarray(k, jnp.int32))
+        xt, u, admm, rec = step(xt, u, admm, jnp.asarray(k, jnp.int32))
         iters_k = np.asarray(rec.iterations)
         total_iters += int(iters_k.sum())
         capped += int(np.sum(iters_k >= cfg.iter_num))

@@ -6,9 +6,13 @@ Run on the TPU (or CPU with JAX_PLATFORMS=cpu for a structural check):
 
     python tools/exp_kkt.py [V ...]
 """
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+# NOTE: do NOT launch with PYTHONPATH=/root/repo — it breaks the axon TPU
+# plugin discovery in this image; the sys.path insert above is enough.
 import jax
 import jax.numpy as jnp
 import numpy as np
