@@ -8,22 +8,30 @@ mesh. This module implements that mapping with ``shard_map`` over a
 ``(scenario, vehicle)`` mesh:
 
 * **local NLP solves** — each vehicle shard solves only its own block of
-  vehicles (vmapped batched interior point), partitioned over the ``vehicle``
-  mesh axis;
-* **bar-state broadcast** — ``lax.all_gather`` of (A, b, lambda_ij, local_x)
-  over the ``vehicle`` axis: the vehicles->RSU message;
+  vehicles (vmapped staged/dense interior point), partitioned over the
+  ``vehicle`` mesh axis;
+* **bar-state broadcast** — ``lax.all_gather`` of the exchange payload
+  (A, b, lambda_ij, local_x, lamb_bar, z_bar) over the ``vehicle`` axis:
+  the vehicles->RSU message;
 * **edge/RSU consensus solve** — runs on the gathered state, replicated per
   vehicle shard (each shard acts as its own RSU replica; deterministic, so
   all replicas agree and the RSU->vehicles return is a block slice of the
   replicated solution — zero return traffic);
 * **residual/stopping reductions** — ``lax.psum`` over the vehicle axis.
 
-Scenario lanes ride the ``scenario`` mesh axis as pure data parallelism
-(DCN-safe); the vehicle-axis collectives stay inside a scenario row (ICI).
-
-Numerics match ``jax.vmap(ConsensusObcaPlanner._mpc_step_impl)`` to float
-tolerance: the math per lane is identical, the only reordering is the psum
-residual reduction (see ``tests/test_consensus_spmd.py``).
+Equality with the single-device step is by CONSTRUCTION, not by parallel
+maintenance: every per-iteration parameter pytree is built on the gathered
+full-vehicle view with the planner's OWN builders (``_local_params``,
+``_local_staged_params``, ``_zip_z``, ``_edge_lam``) and then sliced to the
+shard's vehicle block — parameter assembly is trivially cheap next to the
+NLP solves, which are what gets partitioned. All of the flagship's modes
+are honored: staged/dense local solves, the three edge modes, ``track_*``
+lambda_ij exchange with ``lamb_ij_relax`` damping, configurable dual update
+with ``dual_rho`` and the rho-normalized dual residual, and the cross-step
+``lamb_bar_decay``. Numerics match
+``jax.vmap(ConsensusObcaPlanner._mpc_step_impl)`` to float tolerance; the
+only reordering is the psum residual reduction (see
+``tests/test_consensus_spmd.py``).
 """
 from __future__ import annotations
 
@@ -35,6 +43,7 @@ from ..coordination.dual_update import DualState, update_dual
 from ..models.obca import BarState
 from ..ops.geometry import halfspaces
 from ..solvers.ip import solve_nlp
+from ..solvers.ip_staged import solve_staged
 
 
 def make_consensus_spmd_step(planner, mesh: Mesh):
@@ -48,85 +57,110 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
     """
     ocfg = planner.ocfg
     v, n = planner.num_veh, ocfg.horizon
-    k, f_width = planner.K, planner.N_FULL
+    f_width = planner.N_FULL
     dtype = planner.dtype
     ax_v = mesh.shape["vehicle"]
     assert v % ax_v == 0, f"num_veh {v} must divide vehicle axis {ax_v}"
     vb = v // ax_v
-    nbr_all = jnp.asarray(planner._nbr)
-    rev_all = jnp.asarray(planner._rev)
     pid_all = jnp.asarray(planner._pair_id)
     idx_i, idx_j = planner.idx_i, planner.idx_j
-    n_pairs = len(idx_i)
 
     def gather_v(x):
         """Block [S_blk, vb, ...] -> full [S_blk, V, ...] (vehicles->RSU)."""
         return jax.lax.all_gather(x, "vehicle", axis=1, tiled=True)
 
-    def zip_z(local_x, lamb_ij):
-        """Batched ``ConsensusObcaPlanner._zip_z``: [..., N-1, 5] +
-        [..., K, N-1, 4] -> [..., N-1, F]."""
-        lam_flat = jnp.moveaxis(lamb_ij, -3, -2).reshape(
-            local_x.shape[:-1] + (4 * k,))
-        return jnp.concatenate([local_x, lam_flat], axis=-1)
-
     def step_blk(init_blk, bs_blk: BarState, step_idx):
         s_blk = init_blk.shape[0]
         blk = jax.lax.axis_index("vehicle")
         gids = blk * vb + jnp.arange(vb)
-        nbr_blk = jnp.take(nbr_all, gids, axis=0)            # [vb, K]
-        rev_blk = jnp.take(rev_all, gids, axis=0)
-        pid_blk = jnp.take(pid_all, gids, axis=0)            # [vb, K]
-        ref_full = jax.lax.dynamic_slice_in_dim(
-            jnp.asarray(planner.refs, dtype), step_idx, n, axis=1)
-        ref_blk = jnp.take(ref_full, gids, axis=0)           # [vb, N, 5]
-        ref_blk_b = jnp.broadcast_to(ref_blk, (s_blk,) + ref_blk.shape)
+        init_full = gather_v(init_blk)                       # [S, V, 5]
+        ref_win = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(planner.refs, dtype), step_idx, n, axis=1)  # [V,N,5]
+        ref_blk_b = jnp.broadcast_to(jnp.take(ref_win, gids, axis=0),
+                                     (s_blk, vb, n, 5))
         rho = jnp.asarray(ocfg.rho, dtype)
+        rho_dual = jnp.asarray(
+            ocfg.rho if ocfg.dual_rho is None else ocfg.dual_rho, dtype)
 
-        def pair_mask_from(locx_full):
-            pos = locx_full[..., :2]                         # [S, V, N-1, 2]
-            d2 = jnp.sum((pos[:, idx_i] - pos[:, idx_j]) ** 2, axis=-1)
-            if not planner.gate_pairs:
-                return jnp.ones((s_blk, n_pairs), dtype)
-            return jnp.any(d2 < planner.gate_thres ** 2, axis=-1).astype(dtype)
+        def full_bs(bs):
+            """Gather every exchange leaf -> the RSU's full-vehicle view."""
+            return BarState(*(gather_v(leaf) for leaf in bs))
 
-        def local_params(bs, a_full, b_full, lij_full, mask_veh):
-            """Block analogue of ``_local_params``: the neighbour reads come
-            from the gathered broadcast payload (the RSU message)."""
-            return dict(init_state=init_blk,
-                        ref_win=ref_blk_b,
-                        other_a=a_full[:, nbr_blk],          # [S, vb, K, ...]
-                        other_b=b_full[:, nbr_blk],
-                        other_lij=lij_full[:, nbr_blk, rev_blk],
-                        z_bar=bs.z_bar,
-                        lamb_bar=bs.lamb_bar,
-                        mask=mask_veh,
-                        rho=jnp.broadcast_to(rho, (s_blk, vb)))
+        def slice_blk(tree):
+            """Full-view pytree [S, V, ...] -> own block [S, vb, ...]."""
+            return jax.tree.map(lambda a: jnp.take(a, gids, axis=1), tree)
 
-        solve_local = jax.vmap(jax.vmap(
-            lambda xx, pp: solve_nlp(planner._local_nlp, xx, pp, planner.scfg)))
-        warm_local = jax.vmap(jax.vmap(planner._local_warm_one))
-        split_local = jax.vmap(jax.vmap(planner._loc_split))
-        solve_edge = jax.vmap(
-            lambda zz, pp: solve_nlp(planner._edge_nlp, zz, pp, planner.scfg))
+        def masks_from_full(bsf):
+            pair_mask = jax.vmap(planner._pair_proximity_mask)(bsf.local_x)
+            return pair_mask, pair_mask[:, pid_all]          # [S,P], [S,V,K]
+
+        def local_params_full(bsf, mask_veh_full):
+            return jax.vmap(
+                lambda b_, i_, m_: planner._local_params(
+                    b_, i_, ref_win, rho, m_))(bsf, init_full, mask_veh_full)
+
+        def local_solve(bsf, x_prev_blk, mask_veh_full):
+            if planner.local_warm_mode == "previous":
+                x0 = x_prev_blk
+            else:
+                p_blk = slice_blk(local_params_full(bsf, mask_veh_full))
+                x0 = jax.vmap(jax.vmap(planner._local_warm_one))(
+                    ref_blk_b, p_blk)
+            if planner.use_staged:
+                sp_blk = slice_blk(jax.vmap(
+                    lambda b_, i_, m_: planner._local_staged_params(
+                        b_, i_, ref_win, rho, m_))(
+                            bsf, init_full, mask_veh_full))
+                w0 = jax.vmap(jax.vmap(planner._loc_to_staged))(x0)
+                lsol = jax.vmap(jax.vmap(
+                    lambda ww, pp: solve_staged(
+                        planner._local_staged, ww, pp, planner.scfg)))(
+                            w0, sp_blk)
+                x_out = jax.vmap(jax.vmap(planner._loc_from_staged))(
+                    lsol.w, init_blk)
+            else:
+                p_blk = slice_blk(local_params_full(bsf, mask_veh_full))
+                lsol = jax.vmap(jax.vmap(
+                    lambda xx, pp: solve_nlp(
+                        planner._local_nlp, xx, pp, planner.scfg)))(x0, p_blk)
+                x_out = lsol.x
+            xs, us, lam, _ = jax.vmap(jax.vmap(planner._loc_split))(x_out)
+            return xs, us, lam, x_out
+
+        def edge_one(zb, lb, lfx, pm):
+            """One scenario lane's RSU solve on the full view (replicated
+            per shard; mirrors the flagship's edge_mode branches)."""
+            t_ax = n - 1
+            if planner.edge_mode == "joint":
+                pe = dict(lamb_bar=lb, local_fullx=lfx, rho=rho,
+                          pair_mask=pm)
+                esol = solve_nlp(planner._edge_nlp, zb.reshape(-1), pe,
+                                 planner.scfg)
+                return planner._edge_split(esol.x)
+            pe_t = dict(
+                lamb_bar=jnp.moveaxis(lb, 1, 0),
+                local_fullx=jnp.moveaxis(lfx, 1, 0),
+                rho=jnp.broadcast_to(rho, (t_ax,)),
+                pair_mask=jnp.broadcast_to(pm, (t_ax,) + pm.shape))
+            z0_t = jnp.moveaxis(zb, 1, 0).reshape(t_ax, -1)
+            if planner.edge_mode == "staged":
+                esol = solve_staged(planner._edge_staged, z0_t, pe_t,
+                                    planner.scfg)
+                z_t = esol.w
+            else:                                            # per_step
+                esol = jax.vmap(lambda zz, pp: solve_nlp(
+                    planner._edge_nlp_t, zz, pp, planner.scfg))(z0_t, pe_t)
+                z_t = esol.x
+            return jnp.moveaxis(z_t.reshape(t_ax, v, f_width), 0, 1)
 
         def body(c):
             bs = c["bs"]
             active = jnp.logical_and(jnp.logical_not(c["done"]),
                                      c["it"] < ocfg.max_admm_iters)  # [S_blk]
 
-            a_full, b_full = gather_v(bs.a_mat), gather_v(bs.b)
-            lij_full, locx_full = gather_v(bs.lamb_ij), gather_v(bs.local_x)
-            pair_mask = pair_mask_from(locx_full)            # [S_blk, P]
-            mask_veh = pair_mask[:, pid_blk]                 # [S_blk, vb, K]
-
-            p = local_params(bs, a_full, b_full, lij_full, mask_veh)
-            if planner.local_warm_mode == "previous":
-                x0 = c["loc_x"]
-            else:
-                x0 = warm_local(ref_blk_b, p)
-            sol = solve_local(x0, p)
-            xs, us, lam, _ = split_local(sol.x)              # [S, vb, ...]
+            bsf = full_bs(bs)
+            pair_mask, mask_veh_full = masks_from_full(bsf)
+            xs, us, lam, loc_x = local_solve(bsf, c["loc_x"], mask_veh_full)
 
             # bar_state_update (ref optimizer.py:205-222): fresh halfspaces +
             # local states on the own block; the broadcast happens via the
@@ -141,22 +175,21 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             # vehicles -> RSU: gather the fresh payload for the edge solve
             lij_full = gather_v(bs.lamb_ij)
             locx_full = gather_v(bs.local_x)
-            local_fullx_full = zip_z(locx_full, lij_full)    # [S, V, N-1, F]
+            local_fullx_full = jax.vmap(planner._zip_z)(locx_full, lij_full)
             lambbar_full = gather_v(bs.lamb_bar)
             zbar_full = gather_v(bs.z_bar)
-            pe = dict(lamb_bar=lambbar_full, local_fullx=local_fullx_full,
-                      rho=jnp.broadcast_to(rho, (s_blk,)),
-                      pair_mask=pair_mask)
-            esol = solve_edge(zbar_full.reshape(s_blk, -1), pe)
-            z_full = esol.x.reshape(s_blk, v, n - 1, f_width)
+            z_full = jax.vmap(edge_one)(zbar_full, lambbar_full,
+                                        local_fullx_full, pair_mask)
             # RSU -> vehicles return (ref :322-328): own block slice
             bs = bs._replace(z_bar=jnp.take(z_full, gids, axis=1))
             if planner.lamb_ij_mode == "track_edge":
-                elam_full = jax.vmap(planner._edge_lam)(z_full)
-                bs = bs._replace(lamb_ij=jnp.take(elam_full, gids, axis=1))
+                lam_e_blk = jnp.take(jax.vmap(planner._edge_lam)(z_full),
+                                     gids, axis=1)
+                th = planner.lamb_ij_relax
+                bs = bs._replace(
+                    lamb_ij=th * lam_e_blk + (1.0 - th) * bs.lamb_ij)
 
-            # dual ascent on the own block rows; the consensus error uses the
-            # PRE-edge lambda_ij (matching the single-device body's ordering)
+            # dual ascent on the own block rows; d_min over the full view
             local_fullx_blk = jnp.take(local_fullx_full, gids, axis=1)
             pos = locx_full[..., :2]
             d_min = jnp.min(jnp.linalg.norm(
@@ -165,21 +198,23 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                 lambda st, r, d: update_dual(st, r, d, planner.dual_cfg))(
                 DualState(dual=bs.lamb_bar, sum_err=c["sum_err"],
                           diff_val=c["diff_val"],
-                          rho=jnp.broadcast_to(rho, (s_blk,))),
+                          rho=jnp.broadcast_to(rho_dual, (s_blk,))),
                 local_fullx_blk - bs.z_bar, d_min)
             bs = bs._replace(lamb_bar=dual_new.dual)
 
-            # residuals (ref driver :82-90): block sums + psum over vehicles
+            # residuals (ref driver :82-90): block sums + psum over vehicles;
+            # the dual delta is normalized by the dual step size (matches the
+            # flagship's rho-independent consensus-gap measure)
             primal = jax.lax.psum(
                 jnp.sum(jnp.abs(us - c["us_prev"]), axis=(1, 2, 3)), "vehicle")
             dual_r = jax.lax.psum(
                 jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]), axis=(1, 2, 3)),
-                "vehicle")
+                "vehicle") / jnp.maximum(rho_dual, 1.0)
             lane_done = jnp.logical_and(primal <= ocfg.primal_thres,
                                         dual_r <= ocfg.dual_thres)
 
             new = dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
-                       loc_x=sol.x, sum_err=dual_new.sum_err,
+                       loc_x=loc_x, sum_err=dual_new.sum_err,
                        diff_val=dual_new.diff_val, it=c["it"] + 1,
                        done=jnp.logical_or(c["done"], lane_done),
                        primal=primal, dual=dual_r)
@@ -194,16 +229,17 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             return jnp.any(jnp.logical_and(
                 jnp.logical_not(c["done"]), c["it"] < ocfg.max_admm_iters))
 
-        a_full0, b_full0 = gather_v(bs_blk.a_mat), gather_v(bs_blk.b)
-        lij_full0, locx_full0 = gather_v(bs_blk.lamb_ij), gather_v(bs_blk.local_x)
-        mask_veh0 = pair_mask_from(locx_full0)[:, pid_blk]
-        p0 = local_params(bs_blk, a_full0, b_full0, lij_full0, mask_veh0)
+        bsf0 = full_bs(bs_blk)
+        _, mask_veh0 = masks_from_full(bsf0)
+        p0_blk = slice_blk(local_params_full(bsf0, mask_veh0))
         zeros_f = jnp.zeros((s_blk, vb, n - 1, f_width), dtype)
         c0 = dict(bs=bs_blk,
                   us_prev=jnp.zeros((s_blk, vb, n - 1, 2), dtype),
                   lamb_prev=bs_blk.lamb_bar,
-                  xs=jnp.broadcast_to(ref_blk, (s_blk, vb, n, 5)),
-                  loc_x=warm_local(ref_blk_b, p0),
+                  xs=jnp.broadcast_to(jnp.take(ref_win, gids, axis=0),
+                                      (s_blk, vb, n, 5)),
+                  loc_x=jax.vmap(jax.vmap(planner._local_warm_one))(
+                      ref_blk_b, p0_blk),
                   sum_err=zeros_f, diff_val=zeros_f,
                   it=jnp.zeros((s_blk,), jnp.int32),
                   done=jnp.zeros((s_blk,), bool),
@@ -214,12 +250,11 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
         next_blk = out["xs"][:, :, 1, :]
         bs_out = out["bs"]
         # convergence check on the final gathered exchange state (full view,
-        # replicated — identical on every shard)
-        bs_full = BarState(
-            z_bar=gather_v(bs_out.z_bar), a_mat=gather_v(bs_out.a_mat),
-            b=gather_v(bs_out.b), lamb_bar=gather_v(bs_out.lamb_bar),
-            lamb_ij=gather_v(bs_out.lamb_ij), local_x=gather_v(bs_out.local_x))
-        conv = jax.vmap(planner.check_converge)(bs_full)
+        # replicated — identical on every shard), BEFORE the dual decay
+        conv = jax.vmap(planner.check_converge)(full_bs(bs_out))
+        if planner.lamb_bar_decay != 1.0:
+            bs_out = bs_out._replace(
+                lamb_bar=planner.lamb_bar_decay * bs_out.lamb_bar)
         return (next_blk, planner.shift_bar_state(bs_out, batch_dims=1),
                 out["it"], out["primal"], out["dual"], conv)
 

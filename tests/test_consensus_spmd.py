@@ -82,3 +82,13 @@ class TestConsensusSpmd:
         pl, init, bs_b = _setup(2, 5, 2, lamb_ij_mode="track_local")
         mesh = planner_mesh(n_scenario=2, n_vehicle=2)
         _compare(pl, init, bs_b, mesh)
+
+    def test_staged_default_mode(self):
+        """The flagship's DEFAULT configuration (staged block-Thomas local
+        solves, staged edge, track_edge + lamb_ij_relax damping,
+        lamb_bar_decay) shards identically — the SPMD twin builds each
+        iteration's parameters with the planner's own builders on the
+        gathered view, so every tuning knob is honored by construction."""
+        pl, init, bs_b = _setup(2, 6, 2, use_staged=True, edge_mode="staged")
+        mesh = planner_mesh(n_scenario=2, n_vehicle=2)
+        _compare(pl, init, bs_b, mesh)
