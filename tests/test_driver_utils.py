@@ -147,10 +147,18 @@ class TestShardingEquivalence:
         mesh = planner_mesh(n_scenario=4, n_vehicle=2)
         init_s, bs_s = shard_scenarios(mesh, (init, bs_batch))
         step = sharded_batch_step(pl, mesh)
-        nxt, bs_out, it, pr, du, cv = step(init_s, bs_s,
-                                           jnp.asarray(0, jnp.int32))
+        nxt, bs_out, it, pr, du, cv, nlp_ok, nlp_kkt = step(
+            init_s, bs_s, jnp.asarray(0, jnp.int32))
         assert nxt.shape == (n_scen, 2, 5)
         assert bool(jnp.all(jnp.isfinite(nxt)))
+        # sharded must reproduce the single-device step (deterministic
+        # collectives) — re-asserted after the r3 API drift broke the unpack
+        single = jax.vmap(pl._mpc_step_impl, in_axes=(0, 0, None))(
+            init, bs_batch, jnp.asarray(0, jnp.int32))
+        np.testing.assert_allclose(np.asarray(nxt), np.asarray(single[0]),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(it),
+                                      np.asarray(single[2]))
 
 
 class TestEngineCheckpointResume:
