@@ -130,3 +130,18 @@ class TestEdgeAffine:
                                        rtol=1e-10, atol=1e-10)
             np.testing.assert_allclose(np.asarray(b), np.asarray(b_ad),
                                        rtol=1e-8, atol=1e-10)
+
+    def test_local_closed_form_matches_ad(self):
+        """The outer-ramp local Jacobian equals jacfwd of the local rollout."""
+        from dlp_admm_tpu.models.pi_admm import (_local_affine,
+                                                 _local_affine_ad)
+        rng = np.random.default_rng(7)
+        for _ in range(4):
+            xt = jnp.asarray(rng.normal(size=3))
+            spd = jnp.asarray(float(rng.uniform(2.0, 9.0)))
+            p0, b = _local_affine(xt, spd, 12, 0.1, 1.0)
+            p0_ad, b_ad = _local_affine_ad(xt, spd, 12, 0.1, 1.0)
+            np.testing.assert_allclose(np.asarray(p0), np.asarray(p0_ad),
+                                       rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(b_ad),
+                                       rtol=1e-8, atol=1e-10)
