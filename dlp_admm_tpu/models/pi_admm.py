@@ -320,6 +320,19 @@ class StepRecord(NamedTuple):
     dual_max: jnp.ndarray
 
 
+class FusedRunRecord(NamedTuple):
+    """Per-(lane, step) records of :meth:`PiAdmmEngine.run_fused_batch`.
+
+    Leading axes ``[n_lanes, n_steps]`` (vs :class:`StepRecord`'s stacked
+    ``[n_steps, ...]``)."""
+
+    xt: jnp.ndarray            # [S, n_steps, V, 3] state after each step
+    u_applied: jnp.ndarray     # [S, n_steps, V]
+    iterations: jnp.ndarray    # [S, n_steps] ADMM iterations per step
+    primal_res: jnp.ndarray    # [S, n_steps]
+    dual_res: jnp.ndarray      # [S, n_steps]
+
+
 class AdmmCarry(NamedTuple):
     """Cross-MPC-step ADMM warm-start state of the pairwise engine.
 
@@ -545,24 +558,12 @@ class PiAdmmEngine:
         return self._finish_step(xt, out["u"], out["it"], out["r"], out["s"],
                                  out["dual"])
 
-    def _mpc_step_pairwise(self, xt, u_warm, step_idx,
-                           admm0: Optional[AdmmCarry] = None):
-        cfg = self.cfg
-        v, h, p = cfg.num_veh, cfg.horizon, self.n_pairs
-        h1 = h + 1
+    def _side_of_map(self):
+        """[V, V-1, 2] (pair_idx, side) gather map: for vehicle i, its (V-1)
+        AL terms live at these (pair, side) slots of the dense pair cells."""
+        v = self.cfg.num_veh
         idx_i, idx_j = pair_indices(v)
-        ref_flat = self._ref_window(step_idx)
-        seed = jnp.stack([xt[:, 0] + cfg.dt * self.spd * jnp.cos(xt[:, 2]),
-                          xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])],
-                         axis=1)
-
-        affines = self._local_affines(xt)
-        # consensus/dual cells per ordered pair: [P, 2 sides, 2 xy, H+1]
-        cell0 = jnp.zeros((p, 2, 2, h1), self.dtype)
-        dual0 = init_dual_state((p, 2, 2, h1), cfg.rho, self.dtype)
-
-        # gather map: for vehicle i, its (V-1) AL terms live at (pair, side)
-        side_of = np.zeros((v, v - 1, 2), np.int32)     # (pair_idx, side)
+        side_of = np.zeros((v, v - 1, 2), np.int32)
         for vi in range(v):
             k = 0
             for pi_, (a, b) in enumerate(zip(idx_i, idx_j)):
@@ -570,7 +571,17 @@ class PiAdmmEngine:
                     side_of[vi, k] = (pi_, 0); k += 1
                 elif b == vi:
                     side_of[vi, k] = (pi_, 1); k += 1
-        side_of = jnp.asarray(side_of)
+        return jnp.asarray(side_of)
+
+    def _pairwise_iter(self, xt, seed, affines, ref_flat, side_of, c):
+        """ONE pairwise consensus-ADMM iteration (local QPs -> gating ->
+        per-pair edge QPs -> dual update -> residuals). Shared by the
+        per-step ``lax.while_loop`` (:meth:`_mpc_step_pairwise`) and the
+        fused whole-run loop (:meth:`run_fused_batch`)."""
+        cfg = self.cfg
+        v, p = cfg.num_veh, self.n_pairs
+        idx_i, idx_j = pair_indices(v)
+        k_budget = min(self.pair_budget, p)
 
         def gather_terms(cells):
             """[P,2,2,H+1] -> [V, V-1, 2(H+1)] per-vehicle AL terms."""
@@ -578,108 +589,127 @@ class PiAdmmEngine:
                                    axis=-1)             # [P, 2, 2(H+1)]
             return flat[side_of[..., 0], side_of[..., 1]]
 
-        k_budget = min(self.pair_budget, p)
+        # AL weights: masked to ever-active pairs (reference includes all
+        # pairs unconditionally — see class docstring note 4 /
+        # al_mask_active_pairs)
+        if self.al_mask_active_pairs:
+            w = c["ever"].astype(self.dtype)[side_of[..., 0]]
+        else:
+            w = jnp.ones((v, v - 1), self.dtype)
+        u, pos = self._local_solve(affines, c["u"], ref_flat,
+                                   gather_terms(c["hat"]),
+                                   gather_terms(c["dual"].dual), w,
+                                   c["dual"].rho)
+
+        # gating (ref casadi/main.py:108-118): squared distance of the
+        # local rollouts vs the *unsquared* threshold, per pair
+        d2 = ((pos[idx_i, 0] - pos[idx_j, 0]) ** 2
+              + (pos[idx_i, 1] - pos[idx_j, 1]) ** 2)   # [P, H+1]
+        active = jnp.any(d2 < cfg.dis_thres, axis=-1)
+        ever = jnp.logical_or(c["ever"], active)
+
+        # per-pair edge QPs, vmapped over all pairs, masked updates
+        pos_flat = jnp.concatenate([pos[:, 0, :], pos[:, 1, :]], axis=-1)
+        dual_cells = c["dual"].dual
+        dual_flat = jnp.concatenate([dual_cells[:, :, 0, :],
+                                     dual_cells[:, :, 1, :]], axis=-1)
+        last_dis = seed[idx_j] - seed[idx_i]            # [P, 2]
+
+        xt_pairs = jnp.stack([xt[idx_i], xt[idx_j]], axis=1)      # [P,2,3]
+        spd_pairs = jnp.stack([self.spd[idx_i], self.spd[idx_j]],
+                              axis=1)                              # [P,2]
+        pos_pairs_flat = jnp.stack([pos_flat[idx_i], pos_flat[idx_j]],
+                                   axis=1)                # [P,2,2(H+1)]
+
+        def one_pair(xt_p, spd_p, pos_p, dual_p, ld_p, u0, y0):
+            return _solve_pair_edge_qp(xt_p, spd_p, pos_p, dual_p, ld_p,
+                                       u0, cfg, self.solver_cfg,
+                                       self.n_sqp, y0=y0)
+
+        # active-pair budget: at 16 vehicles only a handful of the 120
+        # pair slots are ever in conflict — gather the k_budget closest
+        # pairs (static shape), solve only those, scatter back. This is
+        # the TPU-native form of `np.where(edge_mat == 1)` gating
+        # (SURVEY.md §7 hard part 5).
+        d2min = jnp.min(d2, axis=-1)
+        if k_budget < p:
+            _, sel = jax.lax.top_k(-d2min, k_budget)
+        else:
+            sel = jnp.arange(p)
+        hat_u_k, hat_k, _, ey_k = jax.vmap(one_pair)(
+            xt_pairs[sel], spd_pairs[sel], pos_pairs_flat[sel],
+            dual_flat[sel], last_dis[sel], c["hat_u"][sel], c["ey"][sel])
+        hat_u_new = c["hat_u"].at[sel].set(hat_u_k)
+        hat_new = c["hat"].at[sel].set(hat_k)
+        ey = c["ey"].at[sel].set(ey_k)
+
+        m = active[:, None, None, None]
+        hat = jnp.where(m, hat_new, c["hat"])
+        hat_u = jnp.where(active[:, None, None], hat_u_new, c["hat_u"])
+
+        # per-pair dual update (ref casadi/main.py:160-162): residual of
+        # each side vs its consensus cell; d_min per pair
+        pos_pairs = jnp.stack([pos[idx_i], pos[idx_j]], axis=1)
+        r_cells = pos_pairs - hat                      # [P, 2, 2, H+1]
+        d_pair = jnp.sqrt(jnp.min(d2, axis=-1))        # [P]
+        dual_new = update_dual(c["dual"], r_cells,
+                               d_pair[:, None, None, None], self.dual_cfg)
+        # only active pairs move their dual state
+        dual = DualState(
+            dual=jnp.where(m, dual_new.dual, c["dual"].dual),
+            sum_err=jnp.where(m, dual_new.sum_err, c["dual"].sum_err),
+            diff_val=jnp.where(m, dual_new.diff_val, c["dual"].diff_val),
+            rho=dual_new.rho)
+
+        r, s = per_edge_residuals(pos_pairs[:, 0], hat[:, 0],
+                                  c["last_hat"][:, 0], dual.rho, active)
+        none_active = jnp.logical_and(jnp.sum(active) == 0,
+                                      jnp.logical_not(c["ever"].any()))
+        # per-edge tolerance scaling (see PiAdmmConfig.eps_per_edge): the
+        # residual sums one 2*||.|| term per active edge, so the stop
+        # threshold grows with the active-edge count
+        scale = (jnp.maximum(jnp.sum(active.astype(r.dtype)), 1.0)
+                 if cfg.eps_per_edge else 1.0)
+        converged = jnp.logical_and(r <= cfg.eps_pri * scale,
+                                    s <= cfg.eps_dual * scale)
+        done = jnp.logical_or(none_active, converged)
+        return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, ey=ey,
+                    last_hat=hat, dual=dual, ever=ever, it=c["it"] + 1,
+                    done=done, r=r, s=s)
+
+    def _pairwise_carry0(self, u_warm, admm0: AdmmCarry):
+        """Initial per-step iteration carry from the (possibly shifted)
+        cross-step ADMM carry."""
+        cfg = self.cfg
+        v, h1 = cfg.num_veh, cfg.horizon + 1
+        rho0 = init_dual_state((), cfg.rho, self.dtype).rho
+        dual0 = DualState(dual=admm0.dual, sum_err=admm0.sum_err,
+                          diff_val=admm0.diff_val, rho=rho0)
+        return dict(u=u_warm, pos=jnp.zeros((v, 2, h1), self.dtype),
+                    hat=admm0.hat, hat_u=admm0.hat_u,
+                    ey=admm0.ey,
+                    last_hat=admm0.hat, dual=dual0,
+                    ever=admm0.active, it=jnp.asarray(0, jnp.int32),
+                    done=jnp.asarray(False),
+                    r=jnp.asarray(0.0, self.dtype),
+                    s=jnp.asarray(0.0, self.dtype))
+
+    def _mpc_step_pairwise(self, xt, u_warm, step_idx,
+                           admm0: Optional[AdmmCarry] = None):
+        cfg = self.cfg
+        ref_flat = self._ref_window(step_idx)
+        seed = jnp.stack([xt[:, 0] + cfg.dt * self.spd * jnp.cos(xt[:, 2]),
+                          xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])],
+                         axis=1)
+        affines = self._local_affines(xt)
+        side_of = self._side_of_map()
         if admm0 is None:
             admm0 = self.init_admm_carry()
-        dual0 = DualState(dual=admm0.dual, sum_err=admm0.sum_err,
-                          diff_val=admm0.diff_val, rho=dual0.rho)
-        carry0 = dict(u=u_warm, pos=jnp.zeros((v, 2, h1), self.dtype),
-                      hat=admm0.hat, hat_u=admm0.hat_u,
-                      ey=admm0.ey,
-                      last_hat=admm0.hat, dual=dual0,
-                      ever=admm0.active, it=jnp.asarray(0, jnp.int32),
-                      done=jnp.asarray(False),
-                      r=jnp.asarray(0.0, self.dtype),
-                      s=jnp.asarray(0.0, self.dtype))
+        carry0 = self._pairwise_carry0(u_warm, admm0)
 
         def body(c):
-            # AL weights: masked to ever-active pairs (reference includes all
-            # pairs unconditionally — see class docstring note 4 /
-            # al_mask_active_pairs)
-            if self.al_mask_active_pairs:
-                w = c["ever"].astype(self.dtype)[side_of[..., 0]]
-            else:
-                w = jnp.ones((v, v - 1), self.dtype)
-            u, pos = self._local_solve(affines, c["u"], ref_flat,
-                                       gather_terms(c["hat"]),
-                                       gather_terms(c["dual"].dual), w,
-                                       c["dual"].rho)
-
-            # gating (ref casadi/main.py:108-118): squared distance of the
-            # local rollouts vs the *unsquared* threshold, per pair
-            d2 = ((pos[idx_i, 0] - pos[idx_j, 0]) ** 2
-                  + (pos[idx_i, 1] - pos[idx_j, 1]) ** 2)   # [P, H+1]
-            active = jnp.any(d2 < cfg.dis_thres, axis=-1)
-            ever = jnp.logical_or(c["ever"], active)
-
-            # per-pair edge QPs, vmapped over all pairs, masked updates
-            pos_flat = jnp.concatenate([pos[:, 0, :], pos[:, 1, :]], axis=-1)
-            dual_cells = c["dual"].dual
-            dual_flat = jnp.concatenate([dual_cells[:, :, 0, :],
-                                         dual_cells[:, :, 1, :]], axis=-1)
-            last_dis = seed[idx_j] - seed[idx_i]            # [P, 2]
-
-            xt_pairs = jnp.stack([xt[idx_i], xt[idx_j]], axis=1)      # [P,2,3]
-            spd_pairs = jnp.stack([self.spd[idx_i], self.spd[idx_j]],
-                                  axis=1)                              # [P,2]
-            pos_pairs_flat = jnp.stack([pos_flat[idx_i], pos_flat[idx_j]],
-                                       axis=1)                # [P,2,2(H+1)]
-
-            def one_pair(xt_p, spd_p, pos_p, dual_p, ld_p, u0, y0):
-                return _solve_pair_edge_qp(xt_p, spd_p, pos_p, dual_p, ld_p,
-                                           u0, cfg, self.solver_cfg,
-                                           self.n_sqp, y0=y0)
-
-            # active-pair budget: at 16 vehicles only a handful of the 120
-            # pair slots are ever in conflict — gather the k_budget closest
-            # pairs (static shape), solve only those, scatter back. This is
-            # the TPU-native form of `np.where(edge_mat == 1)` gating
-            # (SURVEY.md §7 hard part 5).
-            d2min = jnp.min(d2, axis=-1)
-            if k_budget < p:
-                _, sel = jax.lax.top_k(-d2min, k_budget)
-            else:
-                sel = jnp.arange(p)
-            hat_u_k, hat_k, _, ey_k = jax.vmap(one_pair)(
-                xt_pairs[sel], spd_pairs[sel], pos_pairs_flat[sel],
-                dual_flat[sel], last_dis[sel], c["hat_u"][sel], c["ey"][sel])
-            hat_u_new = c["hat_u"].at[sel].set(hat_u_k)
-            hat_new = c["hat"].at[sel].set(hat_k)
-            ey = c["ey"].at[sel].set(ey_k)
-
-            m = active[:, None, None, None]
-            hat = jnp.where(m, hat_new, c["hat"])
-            hat_u = jnp.where(active[:, None, None], hat_u_new, c["hat_u"])
-
-            # per-pair dual update (ref casadi/main.py:160-162): residual of
-            # each side vs its consensus cell; d_min per pair
-            pos_pairs = jnp.stack([pos[idx_i], pos[idx_j]], axis=1)
-            r_cells = pos_pairs - hat                      # [P, 2, 2, H+1]
-            d_pair = jnp.sqrt(jnp.min(d2, axis=-1))        # [P]
-            dual_new = update_dual(c["dual"], r_cells,
-                                   d_pair[:, None, None, None], self.dual_cfg)
-            # only active pairs move their dual state
-            dual = DualState(
-                dual=jnp.where(m, dual_new.dual, c["dual"].dual),
-                sum_err=jnp.where(m, dual_new.sum_err, c["dual"].sum_err),
-                diff_val=jnp.where(m, dual_new.diff_val, c["dual"].diff_val),
-                rho=dual_new.rho)
-
-            r, s = per_edge_residuals(pos_pairs[:, 0], hat[:, 0],
-                                      c["last_hat"][:, 0], dual.rho, active)
-            none_active = jnp.logical_and(jnp.sum(active) == 0,
-                                          jnp.logical_not(c["ever"].any()))
-            # per-edge tolerance scaling (see PiAdmmConfig.eps_per_edge): the
-            # residual sums one 2*||.|| term per active edge, so the stop
-            # threshold grows with the active-edge count
-            scale = (jnp.maximum(jnp.sum(active.astype(r.dtype)), 1.0)
-                     if cfg.eps_per_edge else 1.0)
-            converged = jnp.logical_and(r <= cfg.eps_pri * scale,
-                                        s <= cfg.eps_dual * scale)
-            done = jnp.logical_or(none_active, converged)
-            return dict(u=u, pos=pos, hat=hat, hat_u=hat_u, ey=ey,
-                        last_hat=hat, dual=dual, ever=ever, it=c["it"] + 1,
-                        done=done, r=r, s=s)
+            return self._pairwise_iter(xt, seed, affines, ref_flat, side_of,
+                                       c)
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c["done"]),
@@ -745,6 +775,115 @@ class PiAdmmEngine:
         _, recs = self._run_scan_jit(
             (xt, u, admm0), jnp.arange(n_steps, dtype=jnp.int32))
         return jax.device_get(recs)
+
+    # -- fused whole-run batched driver (pairwise layout) ------------------
+
+    def _fused_lane(self, xt0, u0, admm_init: AdmmCarry, n_steps: int):
+        """Whole MPC run for ONE scenario lane as a single ``lax.while_loop``
+        over consensus iterations.
+
+        The per-step driver synchronizes a vmapped batch at every MPC step:
+        each step's while_loop runs until the SLOWEST lane's inner loop
+        exits, so with mean ~13 but max 30 iterations per step ~55% of the
+        executed lane-iterations were masked waste (BENCH_r03
+        ``effective_iterations`` vs ``hardware_loop_trips``). Here a step
+        that converges (or caps) is finished INLINE — apply the first
+        control, advance the plant, shift the warm starts and the ADMM
+        carry — and the same loop keeps iterating the lane's next step.
+        Under ``vmap`` the batched loop executes max-over-lanes *total*
+        (whole-run) iterations instead of the sum of per-step maxima: the
+        waste drops from ``sum_k (max_lane it_k - it_lane_k)`` to
+        ``max_lane(sum_k it_k) - sum_k it_lane_k``, which concentrates as
+        steps accumulate (fast steps pay for slow ones within a lane).
+
+        Numerically identical to the per-step driver: seed/affines/ref
+        window are recomputed each trip from the lane state, which is
+        frozen within a step, so every iteration sees the same values the
+        per-step path computes once (asserted in
+        ``tests/test_pi_admm.py::TestFusedRunner``).
+        """
+        cfg = self.cfg
+        side_of = self._side_of_map()
+        cap = cfg.iter_num
+
+        def start_carry(u_prev, admm_prev):
+            # per-step entry ≙ run_scan's shift-warm-start + carry shift
+            # (or the reference's per-step re-init when carry is off)
+            admm_s = (self.shift_admm_carry(admm_prev)
+                      if self.carry_admm_state else self.init_admm_carry())
+            u_s = jnp.concatenate([u_prev[:, 1:], u_prev[:, -1:]], axis=1)
+            return self._pairwise_carry0(u_s, admm_s)
+
+        frec = jnp.zeros(n_steps, self.dtype)
+        c0 = dict(adm=start_carry(u0, admm_init),
+                  xt=jnp.asarray(xt0, self.dtype),
+                  k=jnp.asarray(0, jnp.int32),
+                  xt_rec=jnp.zeros((n_steps, cfg.num_veh, 3), self.dtype),
+                  u_rec=jnp.zeros((n_steps, cfg.num_veh), self.dtype),
+                  it_rec=jnp.zeros(n_steps, jnp.int32),
+                  r_rec=frec, s_rec=frec)
+
+        def body(c):
+            xt = c["xt"]
+            seed = jnp.stack(
+                [xt[:, 0] + cfg.dt * self.spd * jnp.cos(xt[:, 2]),
+                 xt[:, 1] + cfg.dt * self.spd * jnp.sin(xt[:, 2])], axis=1)
+            affines = self._local_affines(xt)
+            ref_flat = self._ref_window(c["k"])
+            d = self._pairwise_iter(xt, seed, affines, ref_flat, side_of,
+                                    c["adm"])
+            step_done = jnp.logical_or(d["done"], d["it"] >= cap)
+            # a lane past its last step keeps executing (vmapped SPMD) but
+            # must not advance or write records
+            live = c["k"] < n_steps
+            adv = jnp.logical_and(step_done, live)
+
+            # step finish, selected by adv (ref main.py:168-174)
+            px, py, pth = self._plant_rollout(xt, d["u"])
+            xt_next = jnp.stack([px[:, 1], py[:, 1], pth[:, 1]], axis=-1)
+            admm_out = AdmmCarry(hat=d["hat"], hat_u=d["hat_u"], ey=d["ey"],
+                                 dual=d["dual"].dual,
+                                 sum_err=d["dual"].sum_err,
+                                 diff_val=d["dual"].diff_val,
+                                 active=d["ever"])
+            fresh = start_carry(d["u"], admm_out)
+            adm = jax.tree.map(lambda a, b: jnp.where(adv, a, b), fresh, d)
+
+            def scat(rec, val):
+                return jnp.where(adv, rec.at[c["k"]].set(val), rec)
+
+            return dict(adm=adm,
+                        xt=jnp.where(adv, xt_next, xt),
+                        k=jnp.where(adv, c["k"] + 1, c["k"]),
+                        xt_rec=scat(c["xt_rec"], xt_next),
+                        u_rec=scat(c["u_rec"], d["u"][:, 0]),
+                        it_rec=scat(c["it_rec"], d["it"]),
+                        r_rec=scat(c["r_rec"], d["r"]),
+                        s_rec=scat(c["s_rec"], d["s"]))
+
+        out = jax.lax.while_loop(lambda c: c["k"] < n_steps, body, c0)
+        return FusedRunRecord(xt=out["xt_rec"], u_applied=out["u_rec"],
+                              iterations=out["it_rec"],
+                              primal_res=out["r_rec"], dual_res=out["s_rec"])
+
+    def run_fused_batch(self, xts, us, n_steps: int) -> FusedRunRecord:
+        """Fused whole-run driver over a batch of scenario lanes.
+
+        ``xts [S, V, 3]``, ``us [S, V, H]`` -> :class:`FusedRunRecord` with
+        ``[S, n_steps, ...]`` leaves. The executed while-loop trip count is
+        ``max_lane(sum_k iterations)`` — recover it on the host as
+        ``rec.iterations.sum(axis=1).max()`` for the loop-efficiency metric.
+        """
+        if self.layout != "pairwise":
+            raise ValueError("run_fused_batch requires layout='pairwise'")
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if n_steps not in cache:
+            admm0 = self.init_admm_carry()
+            cache[n_steps] = jax.jit(jax.vmap(
+                lambda xt, u: self._fused_lane(xt, u, admm0, n_steps)))
+        return cache[n_steps](xts, us)
 
     def run(self, xt0: Optional[np.ndarray] = None,
             n_steps: Optional[int] = None,

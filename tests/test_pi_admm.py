@@ -145,3 +145,59 @@ class TestEdgeAffine:
                                        rtol=1e-10, atol=1e-10)
             np.testing.assert_allclose(np.asarray(b), np.asarray(b_ad),
                                        rtol=1e-8, atol=1e-10)
+
+
+class TestFusedRunner:
+    """run_fused_batch (one while_loop over the whole run) must reproduce the
+    per-step driver exactly — same trajectories AND same per-step iteration
+    counts — while executing only max-over-lanes *total* iterations (the
+    bench's loop-efficiency recovery; VERDICT r3 next-step #1)."""
+
+    def _engine(self, cfg, refs):
+        return PiAdmmEngine(
+            cfg, DualUpdateConfig(windup_sat=200.0),
+            SolverConfig(qp_iters=16, qp_tol=1e-4, qp_segments=1,
+                         qp_ns_iters=10, qp_unroll=16),
+            layout="pairwise", refs=refs, n_sqp=1,
+            carry_admm_state=True, dtype=jnp.float64)
+
+    def test_matches_per_step_driver(self):
+        from dlp_admm_tpu.scenarios import pi_admm_overtake_refs
+        num_veh, horizon, n_steps = 4, 8, 16
+        speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
+        cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
+                           dis_thres=3.5, iter_num=20, eps_pri=0.5,
+                           eps_dual=0.5, stop_needs_clearance=False,
+                           eps_per_edge=True)
+        refs, xt0 = pi_admm_overtake_refs(cfg)
+        eng = self._engine(cfg, refs)
+
+        rng = np.random.default_rng(0)
+        n_lane = 2
+        xts = np.asarray(xt0)[None] + np.concatenate(
+            [0.4 * rng.normal(size=(n_lane, num_veh, 2)),
+             np.zeros((n_lane, num_veh, 1))], axis=-1)
+        frec = eng.run_fused_batch(
+            jnp.asarray(xts), jnp.zeros((n_lane, num_veh, horizon)), n_steps)
+
+        totals = np.asarray(frec.iterations).sum(axis=1)
+        for lane in range(n_lane):
+            rec = eng.run_scan(xt0=xts[lane], n_steps=n_steps)
+            np.testing.assert_array_equal(np.asarray(frec.iterations[lane]),
+                                          np.asarray(rec.iterations))
+            np.testing.assert_allclose(np.asarray(frec.xt[lane]),
+                                       np.asarray(rec.xt), atol=1e-8)
+            np.testing.assert_allclose(np.asarray(frec.u_applied[lane]),
+                                       np.asarray(rec.u_applied), atol=1e-8)
+            np.testing.assert_allclose(np.asarray(frec.primal_res[lane]),
+                                       np.asarray(rec.primal_res), atol=1e-8)
+        # the conflict window must actually engage (multi-iteration steps)
+        # and lanes must diverge so the fusion has waste to recover
+        assert totals.max() > n_steps
+        # hardware trips of the fused batch = max-over-lanes total
+        assert totals.max() <= n_steps * cfg.iter_num
+
+    def test_requires_pairwise(self):
+        eng = make_engine("classic")
+        with pytest.raises(ValueError):
+            eng.run_fused_batch(jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 5)), 2)
