@@ -35,3 +35,7 @@ def test_two_process_step():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK process={i}/2" in out, out[-3000:]
+        # the consensus-SPMD flagship step also ran collectively and each
+        # process's shards matched its locally-computed single-device
+        # reference (VERDICT r3 next #5)
+        assert f"MULTIHOST_CONSENSUS_OK process={i}/2" in out, out[-3000:]
