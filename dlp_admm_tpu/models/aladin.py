@@ -35,6 +35,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..solvers.linalg import dense_solve
+
 from ..config import SolverConfig
 from ..solvers.ip import NLP, solve_nlp
 
@@ -164,7 +166,7 @@ class AladinEngine:
             jnp.zeros(n_agents * mh, dtype)])
         kkt = jnp.block([[big_h, eq.T],
                          [eq, -1e-9 * jnp.eye(m_eq, dtype=dtype)]])
-        sol = jnp.linalg.solve(kkt, jnp.concatenate([-big_g, rhs_eq]))
+        sol = dense_solve(kkt, jnp.concatenate([-big_g, rhs_eq]))
         dy = sol[:n_agents * ny].reshape(n_agents, ny)
         lam_qp = sol[nv:nv + mc]
 

@@ -439,6 +439,7 @@ class ConsensusObcaPlanner:
                  use_staged: bool = True, edge_mode: str = "staged",
                  lamb_bar_decay: float = 0.5,
                  lamb_ij_relax: float = 0.3,
+                 lamb_ij_hysteresis: bool = False,
                  edge_prox: float = 0.0,
                  dtype=jnp.float64):
         from .. import scenarios
@@ -524,6 +525,10 @@ class ConsensusObcaPlanner:
         # nonconvex coupling has no convergence guarantee; damping the
         # exchanged certificates is the standard stabilizer)
         self.lamb_ij_relax = float(lamb_ij_relax)
+        # freeze the track_edge certificate exchange on iterations where the
+        # primal residual rose (limit-cycle breaker for the conflict window;
+        # see _mpc_step_impl). Off by default pending A/B evidence.
+        self.lamb_ij_hysteresis = bool(lamb_ij_hysteresis)
         # proximal regularization of the edge consensus NLP about the
         # previous iterate: + edge_prox/2 ||z - z_prev||^2 in the edge
         # objective. Damps the pass-side branch oscillation in the conflict
@@ -1051,7 +1056,16 @@ class ConsensusObcaPlanner:
                 # zero avoidance force). Default mode; 'frozen'/'track_local'
                 # reproduce the reference's exchanges.
                 lam_e = self._edge_lam(z_bar)
-                th = self.lamb_ij_relax
+                th = jnp.asarray(self.lamb_ij_relax, self.dtype)
+                if self.lamb_ij_hysteresis:
+                    # freeze the certificate exchange while the primal
+                    # residual is rising: the conflict-window limit cycle is
+                    # certificate-flip -> locals react -> residual jumps ->
+                    # flip back; holding lamb_ij through the rise breaks the
+                    # feedback (converged iterations are unaffected — there
+                    # the residual is falling)
+                    rising = c["primal"] > c["primal_prev"]
+                    th = jnp.where(rising, 0.0, th)
                 bs = bs._replace(
                     lamb_ij=th * lam_e + (1.0 - th) * bs.lamb_ij)
 
@@ -1092,7 +1106,8 @@ class ConsensusObcaPlanner:
             return dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
                         loc_x=loc_x, nlp_ok=nlp_ok, nlp_kkt=nlp_kkt,
                         sum_err=dual_new.sum_err, diff_val=dual_new.diff_val,
-                        it=c["it"] + 1, done=done, primal=primal, dual=dual)
+                        it=c["it"] + 1, done=done, primal=primal, dual=dual,
+                        primal_prev=c["primal"])
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c["done"]),
@@ -1112,6 +1127,7 @@ class ConsensusObcaPlanner:
                   nlp_ok=jnp.ones((2,), self.dtype),
                   nlp_kkt=jnp.zeros((2,), self.dtype),
                   primal=jnp.asarray(jnp.inf, self.dtype),
+                  primal_prev=jnp.asarray(jnp.inf, self.dtype),
                   dual=jnp.asarray(jnp.inf, self.dtype))
         out = jax.lax.while_loop(cond, body, c0)
 

@@ -185,7 +185,12 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             if planner.lamb_ij_mode == "track_edge":
                 lam_e_blk = jnp.take(jax.vmap(planner._edge_lam)(z_full),
                                      gids, axis=1)
-                th = planner.lamb_ij_relax
+                th = jnp.asarray(planner.lamb_ij_relax, dtype)
+                if planner.lamb_ij_hysteresis:
+                    # per-lane freeze while the primal residual rises
+                    # (mirrors the flagship's limit-cycle breaker)
+                    rising = c["primal"] > c["primal_prev"]
+                    th = jnp.where(rising, 0.0, th)[:, None, None, None, None]
                 bs = bs._replace(
                     lamb_ij=th * lam_e_blk + (1.0 - th) * bs.lamb_ij)
 
@@ -217,7 +222,8 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                        loc_x=loc_x, sum_err=dual_new.sum_err,
                        diff_val=dual_new.diff_val, it=c["it"] + 1,
                        done=jnp.logical_or(c["done"], lane_done),
-                       primal=primal, dual=dual_r)
+                       primal=primal, dual=dual_r,
+                       primal_prev=c["primal"])
             # freeze lanes that were not active this iteration (matches the
             # per-lane select of a vmapped while_loop on one device)
             def sel(new_leaf, old_leaf):
@@ -244,6 +250,7 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                   it=jnp.zeros((s_blk,), jnp.int32),
                   done=jnp.zeros((s_blk,), bool),
                   primal=jnp.full((s_blk,), jnp.inf, dtype),
+                  primal_prev=jnp.full((s_blk,), jnp.inf, dtype),
                   dual=jnp.full((s_blk,), jnp.inf, dtype))
         out = jax.lax.while_loop(cond, body, c0)
 

@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .linalg import dense_solve
 from ..config import SolverConfig
 
 
@@ -155,7 +156,7 @@ def _solve_nlp_f32(nlp: NLP, x0, p, cfg, y0, z0) -> NLPSolution:
         # KKT system over (dx, lam), lam = -dy
         kkt = jnp.block([[h, je.T],
                          [je, -1e-8 * jnp.eye(m_e, dtype=dtype)]])
-        sol = jnp.linalg.solve(kkt, jnp.concatenate([rhs_x, -c_e]))
+        sol = dense_solve(kkt, jnp.concatenate([rhs_x, -c_e]))
         # NaN guard: a singular/ill-conditioned KKT (e.g. on an infeasible
         # subproblem — the reference's first ADMM iteration produces these,
         # see models/obca.py) must not poison the iterate; take a zero step

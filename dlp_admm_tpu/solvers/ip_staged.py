@@ -39,6 +39,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .linalg import dense_solve
 from ..config import SolverConfig
 
 
@@ -100,7 +101,7 @@ def block_thomas_solve(diag, upper, rhs):
         d_k, u_km1, u_k, r_k = blk
         c_k = d_k - u_km1.T @ x_prev
         g_k = r_k - u_km1.T @ y_prev
-        sol = jnp.linalg.solve(c_k, jnp.concatenate(
+        sol = dense_solve(c_k, jnp.concatenate(
             [u_k, g_k[:, None]], axis=1))
         x_k, y_k = sol[:, :b], sol[:, b]
         return (x_k, y_k), (x_k, y_k)
