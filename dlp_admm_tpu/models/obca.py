@@ -961,6 +961,47 @@ class ConsensusObcaPlanner:
                     rho=jnp.broadcast_to(rho, (v,)))
 
     def _mpc_step_impl(self, init_state, bar_state_prev: BarState, step_idx):
+        body, cond, c0 = self._admm_parts(init_state, bar_state_prev,
+                                          step_idx)
+        out = jax.lax.while_loop(cond, body, c0)
+        return self._finish_mpc_step(out)
+
+    def mpc_step_trace(self, init_state, bar_state_prev: BarState, step_idx,
+                       n_iters: int):
+        """Debug/observability surface: run EXACTLY ``n_iters`` ADMM
+        iterations of one MPC step (no early exit) and return the
+        per-iteration history ``dict(primal, dual, nlp_ok, zy_gap)`` plus
+        the final carry — the tool for watching the conflict-window limit
+        cycle (SURVEY §5 tracing; tools/exp_limit_cycle.py)."""
+        body, _, c0 = self._admm_parts(init_state, bar_state_prev, step_idx)
+
+        def scan_body(c, _):
+            c2 = body(c)
+            zy = c2["bs"].z_bar[:, :, 1]          # [V, N-1] consensus y
+            rec = dict(primal=c2["primal"], dual=c2["dual"],
+                       nlp_ok=c2["nlp_ok"],
+                       zy_gap=jnp.mean(zy[0] - zy[1]) if self.num_veh == 2
+                       else jnp.asarray(0.0, self.dtype))
+            return c2, rec
+        out, hist = jax.lax.scan(scan_body, c0, None, length=n_iters)
+        return out, hist
+
+    def _finish_mpc_step(self, out):
+        """MPC advance from the converged/capped ADMM carry
+        (driver :99-102)."""
+        next_state = out["xs"][:, 1, :]
+        converged_flag = self.check_converge(out["bs"])
+        if self.lamb_bar_decay != 1.0:
+            out["bs"] = out["bs"]._replace(
+                lamb_bar=self.lamb_bar_decay * out["bs"].lamb_bar)
+        return (next_state, self.shift_bar_state(out["bs"]), out["it"],
+                out["primal"], out["dual"], converged_flag,
+                out["nlp_ok"], out["nlp_kkt"])
+
+    def _admm_parts(self, init_state, bar_state_prev: BarState, step_idx):
+        """Build (body, cond, c0) of one MPC step's ADMM loop; shared by
+        :meth:`_mpc_step_impl` (while_loop) and :meth:`mpc_step_trace`
+        (fixed-length scan)."""
         ocfg = self.ocfg
         v, n = self.num_veh, ocfg.horizon
         ref_win = jax.lax.dynamic_slice_in_dim(
@@ -1129,17 +1170,7 @@ class ConsensusObcaPlanner:
                   primal=jnp.asarray(jnp.inf, self.dtype),
                   primal_prev=jnp.asarray(jnp.inf, self.dtype),
                   dual=jnp.asarray(jnp.inf, self.dtype))
-        out = jax.lax.while_loop(cond, body, c0)
-
-        # MPC advance: next state from the local solution (driver :99-102)
-        next_state = out["xs"][:, 1, :]
-        converged_flag = self.check_converge(out["bs"])
-        if self.lamb_bar_decay != 1.0:
-            out["bs"] = out["bs"]._replace(
-                lamb_bar=self.lamb_bar_decay * out["bs"].lamb_bar)
-        return (next_state, self.shift_bar_state(out["bs"]), out["it"],
-                out["primal"], out["dual"], converged_flag,
-                out["nlp_ok"], out["nlp_kkt"])
+        return body, cond, c0
 
     def run_scan(self, n_steps: Optional[int] = None,
                  return_health: bool = False):
