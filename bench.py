@@ -153,6 +153,47 @@ def main():
     # per-step flops estimate ~= one ADMM-iteration body (the out-of-loop
     # work — affines, plant rollout — is small next to it); the hardware
     # executes `hw_trips` such bodies over the timed window.
+    # -- second metric: the consensus-OBCA flagship's full 42-step run
+    # (VERDICT r3 next #3). The OBCA IP solves need f64 (weight spread
+    # ~1e7 -> f32 KKT fails: nlp_ok=0 measured); on this v5e tunnel the
+    # f64-emulated program compiles (solvers/linalg.py mixed-precision LU)
+    # but crashes the TPU worker, so the flagship line is measured on the
+    # host CPU in f64 and labeled as such.
+    jax.config.update("jax_enable_x64", True)
+    from dlp_admm_tpu.config import ObcaConfig
+    from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        pl = ConsensusObcaPlanner(
+            ObcaConfig(horizon=8, min_dis=0.1, rho=100.0,
+                       max_admm_iters=50),
+            scfg=SolverConfig(ip_iters=40, ip_tol=1e-6),
+            dtype=jnp.float64)
+        pl.run_scan()                           # warm/compile
+        t0 = time.time()
+        f_states, f_its, f_prs, f_dus, _ = pl.run_scan()
+        f_el = time.time() - t0
+    fp = f_states[..., :2]
+    f_d = float(np.linalg.norm(fp[:, 0] - fp[:, 1], axis=-1).min())
+    res_ok = int(((f_prs <= 0.01) & (f_dus <= 0.01)).sum())
+    # gate: the 5-ish conflict-window steps sit on a limit cycle that is
+    # chaotically sensitive to the reduction environment (measured 34-37/42
+    # across CPU thread configs; tests/test_flagship_convergence.py pins 36+
+    # in its fixed env); safety and the bulk of convergence are env-stable
+    f_ok = res_ok >= 33 and f_d > 3.5
+    assert f_ok, \
+        f"flagship quality gate: res_ok {res_ok}/42, min_dist {f_d:.2f}"
+    flagship = {
+        "consensus_obca_iterations_per_s": round(
+            float(f_its.sum()) / f_el, 2),
+        "consensus_obca_wall_per_step_s": round(f_el / len(f_its), 5),
+        "consensus_obca_res_ok_steps": f"{res_ok}/{len(f_its)}",
+        "consensus_obca_min_distance_m": round(f_d, 3),
+        "consensus_obca_device": "host cpu, f64 (TPU f64 emulation "
+                                 "crashes the v5e worker; PARITY.md)",
+        "consensus_obca_quality_ok": f_ok,
+    }
+
     dev = jax.devices()[0]
     achieved_flops_s = flops_per_step * hw_trips / elapsed
     # fraction of executed lane-iterations that were effective (unmasked):
@@ -194,6 +235,7 @@ def main():
         "achieved_tflops_s": round(achieved_flops_s / 1e12, 4),
         "quality_ok": quality_ok,
     }
+    out.update(flagship)
     if peak_bf16:
         out["mfu_vs_bf16_peak"] = round(achieved_flops_s / peak_bf16, 5)
     print(json.dumps(out))
