@@ -164,10 +164,15 @@ def main():
     from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
     cpu0 = jax.devices("cpu")[0]
     with jax.default_device(cpu0):
+        # annealed-prox profile (round 4, tools/exp_conflict_window.py):
+        # converges EVERY step of the run, including the conflict-window
+        # steps the reference caps on at any budget (42/42 measured,
+        # min distance 4.14 m)
         pl = ConsensusObcaPlanner(
             ObcaConfig(horizon=8, min_dis=0.1, rho=100.0,
                        max_admm_iters=50),
             scfg=SolverConfig(ip_iters=40, ip_tol=1e-6),
+            local_prox=700.0, prox_growth=1.5,
             dtype=jnp.float64)
         pl.run_scan()                           # warm/compile
         t0 = time.time()
@@ -176,11 +181,10 @@ def main():
     fp = f_states[..., :2]
     f_d = float(np.linalg.norm(fp[:, 0] - fp[:, 1], axis=-1).min())
     res_ok = int(((f_prs <= 0.01) & (f_dus <= 0.01)).sum())
-    # gate: the 5-ish conflict-window steps sit on a limit cycle that is
-    # chaotically sensitive to the reduction environment (measured 34-37/42
-    # across CPU thread configs; tests/test_flagship_convergence.py pins 36+
-    # in its fixed env); safety and the bulk of convergence are env-stable
-    f_ok = res_ok >= 33 and f_d > 3.5
+    # gate: measured 42/42 at pin time; floor 39 for environment wiggle
+    # (the undamped profile varied 34-37 across CPU thread configs; the
+    # damped contraction is structurally less sensitive)
+    f_ok = res_ok >= 39 and f_d > 3.8
     assert f_ok, \
         f"flagship quality gate: res_ok {res_ok}/42, min_dist {f_d:.2f}"
     flagship = {

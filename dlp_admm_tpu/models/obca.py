@@ -441,6 +441,10 @@ class ConsensusObcaPlanner:
                  lamb_ij_relax: float = 0.3,
                  lamb_ij_hysteresis: bool = False,
                  edge_prox: float = 0.0,
+                 branch_commit: bool = False, commit_after: int = 6,
+                 commit_w: float = 1000.0, local_prox: float = 0.0,
+                 prox_after: int = 0, prox_growth: float = 1.0,
+                 prox_adaptive: bool = False,
                  dtype=jnp.float64):
         from .. import scenarios
         from ..config import DualStrategy, DualUpdateConfig, WindupMode
@@ -498,6 +502,11 @@ class ConsensusObcaPlanner:
         # track_edge mode lambda_ij carries ||A^T lambda|| <= 1 certificates
         # (see _edge_ci adding (4c), which the reference's edge omits).
         self.elastic_w = 1.0e7
+        # strict-interior margin on the (4c) dual-norm bound the edge adds
+        # (the reference's edge omits (4c) entirely, optimizer.py:259-283);
+        # < 1.0 keeps exchanged certificates usable in the locals' hard
+        # rows. Swept in tests/test_sensitivity.py.
+        self.cert_norm_bound = 0.95
         self._loc_sizes = dict(x=5 * n, u=2 * (n - 1),
                                lam=self.K * 4 * (n - 1),
                                e=self.K * (n - 1))
@@ -536,6 +545,58 @@ class ConsensusObcaPlanner:
         # and the term vanishes at any fixed point (z = z_prev), so the
         # converged solution set is unchanged.
         self.edge_prox = float(edge_prox)
+        # Branch commitment (the conflict-window limit-cycle breaker, round
+        # 4): the pass-left/pass-right decision is the orientation of the
+        # pair's relative displacement d_{p,t} = pos_i(z) - pos_j(z) — the
+        # limit-cycle anatomy (tools/exp_limit_cycle.py) shows the lateral
+        # ordering flipping 17-28 times in 50 capped iterations (while the
+        # OBCA certificate direction stays pinned at the (4c) bound, so
+        # committing THAT is a no-op — measured, tools/exp_branch_commit).
+        # After ``commit_after`` ADMM iterations the current
+        # (unit-normalized, non-degenerate) displacement directions are
+        # FROZEN as d_bar and the edge objective gains
+        # ``commit_w * relu(-<d(z), d_bar>)^2`` per (pair, t): a CONVEX
+        # piecewise-quadratic in z, exactly zero on the committed branch
+        # (the converged solution set there is unchanged), quadratically
+        # repelling a flip to the opposite halfspace. The reference has no
+        # such mechanism and caps on these steps
+        # (decentralized_overtaking_ADMM.py:86-90); this is the "fix the
+        # pass side once chosen" tie-break, scenario-agnostic (commits a
+        # direction, not a lateral order).
+        self.branch_commit = bool(branch_commit)
+        self.commit_after = int(commit_after)
+        self.commit_w = float(commit_w)
+        # proximal damping of the LOCAL solves about their previous iterate
+        # (+ local_prox/2 ||x - x_prev||^2): the locals are the
+        # alternating-best-response overshooter in the conflict-window
+        # limit cycle (their y output flips in lockstep with the railed
+        # lamb_bar); 0 = reference semantics, and the term vanishes at any
+        # fixed point, so the converged solution set is unchanged.
+        # ``prox_after`` delays it: iterations < prox_after run undamped
+        # (tau enters the solves as a runtime parameter, so the delayed
+        # schedule costs no extra compilation), keeping fast steps fast
+        # while the conflict-window steps get the damping that converges
+        # them (measured on the step-27 limit cycle: tau=1000 takes the
+        # 50-cap primal residual from 62 to 0.03).
+        self.local_prox = float(local_prox)
+        self.prox_after = int(prox_after)
+        # anneal the prox weight UP within a step: tau_k = local_prox *
+        # prox_growth^(k - prox_after). With growth > 1 the iteration is a
+        # proximal-point scheme with increasing regularization — iterate
+        # changes are forced to zero, so the primal residual crosses any
+        # threshold in bounded iterations, and it lands on a point whose
+        # consensus gap (the dual residual) the un-annealed phase already
+        # closed. Measured on the step-27 limit cycle: tau=1000 alone
+        # floors at primal ~0.02-0.1 (inner-solver jitter); growth breaks
+        # the floor.
+        self.prox_growth = float(prox_growth)
+        # adaptive ratchet variant: instead of growing tau with the
+        # iteration count, HOLD tau at local_prox while the primal residual
+        # falls (converging steps feel only the mild base damping) and
+        # multiply it by prox_growth whenever the residual RISES (the
+        # limit-cycle signature). Oscillating steps ratchet themselves into
+        # the contraction regime; smooth steps never pay for it.
+        self.prox_adaptive = bool(prox_adaptive)
         assert edge_mode in ("joint", "per_step", "staged")
         self.edge_mode = edge_mode
         self._local_staged = StagedNLP(self._loc_stage_f,
@@ -582,6 +643,8 @@ class ConsensusObcaPlanner:
         obj += jnp.sum(p["lamb_bar"] * s_full)
         obj += p["rho"] / 2 * jnp.sum((s_full - p["z_bar"]) ** 2)
         obj += self.elastic_w * jnp.sum(e)
+        if self.local_prox:
+            obj += p["prox_tau"] / 2 * jnp.sum((x - p["x_prev"]) ** 2)
         return obj
 
     def _local_ce(self, x, p):
@@ -649,6 +712,8 @@ class ConsensusObcaPlanner:
         obj += pk["lamb_bar"] @ s_full
         obj += pk["rho"] / 2 * jnp.sum((s_full - pk["z_bar"]) ** 2)
         obj += self.elastic_w * jnp.sum(e)
+        if self.local_prox:
+            obj += pk["prox_tau"] / 2 * jnp.sum((w - pk["w_prev"]) ** 2)
         return obj
 
     def _loc_stage_ce_link(self, w_prev, w, pk):
@@ -722,6 +787,10 @@ class ConsensusObcaPlanner:
         obj += p["rho"] / 2 * jnp.sum((p["local_fullx"] - z) ** 2)
         if self.edge_prox:
             obj += self.edge_prox / 2 * jnp.sum((z - p["z_prev"]) ** 2)
+        if self.branch_commit:
+            d = z[self.idx_i, :, :2] - z[self.idx_j, :, :2]  # [P, N-1, 2]
+            dot = jnp.sum(d * p["d_bar"], axis=-1)
+            obj += self.commit_w * jnp.sum(jax.nn.relu(-dot) ** 2)
         return obj
 
     def _edge_halfspaces(self, z):
@@ -756,7 +825,7 @@ class ConsensusObcaPlanner:
                - bl[self.idx_j, self._slot_j] - self.ocfg.min_dis)
         sep = p["pair_mask"][:, None] * sep + (1.0 - p["pair_mask"][:, None])
         at_l = jnp.einsum('vtij,vkti->vktj', a_mat, lam)
-        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)          # [V, K, N-1]
+        nrm = self.cert_norm_bound ** 2 - jnp.sum(at_l ** 2, axis=-1)  # [V, K, N-1]
         zs = z[:, :, :5]
         box = jnp.concatenate([(zs + 1000.0).reshape(-1),
                                (1000.0 - zs).reshape(-1)])
@@ -794,6 +863,10 @@ class ConsensusObcaPlanner:
                + p["rho"] / 2 * jnp.sum((p["local_fullx"] - z) ** 2))
         if self.edge_prox:
             obj += self.edge_prox / 2 * jnp.sum((z - p["z_prev"]) ** 2)
+        if self.branch_commit:
+            d = z[self.idx_i, :2] - z[self.idx_j, :2]      # [P, 2]
+            dot = jnp.sum(d * p["d_bar"], axis=-1)
+            obj += self.commit_w * jnp.sum(jax.nn.relu(-dot) ** 2)
         return obj
 
     def _edge_ce_t(self, x, p):
@@ -815,7 +888,7 @@ class ConsensusObcaPlanner:
                - bl[self.idx_j, self._slot_j] - self.ocfg.min_dis)
         sep = p["pair_mask"] * sep + (1.0 - p["pair_mask"])
         at_l = jnp.einsum('vij,vki->vkj', a_mat, lam)
-        nrm = 0.95 ** 2 - jnp.sum(at_l ** 2, axis=-1)
+        nrm = self.cert_norm_bound ** 2 - jnp.sum(at_l ** 2, axis=-1)
         zs = z[:, :5]
         box = jnp.concatenate([(zs + 1000.0).reshape(-1),
                                (1000.0 - zs).reshape(-1)])
@@ -834,7 +907,8 @@ class ConsensusObcaPlanner:
         c_dir = c_dir / jnp.maximum(
             jnp.linalg.norm(c_dir, axis=-1, keepdims=True), 1e-9)
         align = jnp.einsum('vtij,vktj->vkti', a0, c_dir)       # [V, K, N-1, 4]
-        return 0.95 * jax.nn.one_hot(jnp.argmax(align, -1), 4, dtype=d)
+        return self.cert_norm_bound * jax.nn.one_hot(jnp.argmax(align, -1), 4,
+                                              dtype=d)
 
     def _zip_z(self, local_x, lamb_ij):
         """Pack (states [V, N-1, 5], duals [V, K, N-1, 4]) into Z [V, N-1, F]."""
@@ -978,10 +1052,15 @@ class ConsensusObcaPlanner:
         def scan_body(c, _):
             c2 = body(c)
             zy = c2["bs"].z_bar[:, :, 1]          # [V, N-1] consensus y
+            a_e, _ = self._edge_halfspaces(c2["bs"].z_bar)
+            at_le = jnp.einsum('vtij,vkti->vktj', a_e,
+                               self._edge_lam(c2["bs"].z_bar))
+            d_now = at_le[self.idx_i, self._slot_i]
             rec = dict(primal=c2["primal"], dual=c2["dual"],
-                       nlp_ok=c2["nlp_ok"],
+                       nlp_ok=c2["nlp_ok"], nlp_kkt=c2["nlp_kkt"],
                        zy_gap=jnp.mean(zy[0] - zy[1]) if self.num_veh == 2
-                       else jnp.asarray(0.0, self.dtype))
+                       else jnp.asarray(0.0, self.dtype),
+                       d_nrm=jnp.mean(jnp.linalg.norm(d_now, axis=-1)))
             return c2, rec
         out, hist = jax.lax.scan(scan_body, c0, None, length=n_iters)
         return out, hist
@@ -1013,8 +1092,11 @@ class ConsensusObcaPlanner:
             mask_veh = pair_mask[self._pair_id]            # [V, K]
             return pair_mask, mask_veh
 
-        def local_solve(bs: BarState, x_prev, mask_veh):
+        def local_solve(bs: BarState, x_prev, mask_veh, prox_tau):
             p = self._local_params(bs, init_state, ref_win, rho, mask_veh)
+            if self.local_prox:
+                p["x_prev"] = x_prev
+                p["prox_tau"] = jnp.broadcast_to(prox_tau, (v,))
             if self.local_warm_mode == "previous":
                 x0 = x_prev
             else:
@@ -1024,6 +1106,10 @@ class ConsensusObcaPlanner:
             if self.use_staged:
                 sp = self._local_staged_params(bs, init_state, ref_win, rho,
                                                mask_veh)
+                if self.local_prox:
+                    sp["w_prev"] = jax.vmap(self._loc_to_staged)(x_prev)
+                    t_ = self.ocfg.horizon - 1
+                    sp["prox_tau"] = jnp.broadcast_to(prox_tau, (v, t_))
                 lsol = jax.vmap(lambda ww, pp: solve_staged(
                     self._local_staged, ww, pp, self.scfg))(
                         jax.vmap(self._loc_to_staged)(x0), sp)
@@ -1040,8 +1126,17 @@ class ConsensusObcaPlanner:
         def body(c):
             bs = c["bs"]
             pair_mask, mask_veh = masks_from(bs)
+            if self.prox_adaptive:
+                prox_tau = c["prox_tau"]
+            else:
+                k_eff = jnp.maximum(c["it"] - self.prox_after, 0)
+                prox_tau = jnp.where(
+                    c["it"] >= self.prox_after,
+                    self.local_prox
+                    * self.prox_growth ** k_eff.astype(self.dtype),
+                    0.0).astype(self.dtype)
             xs, us, lam, loc_x, loc_health = local_solve(bs, c["loc_x"],
-                                             mask_veh)
+                                             mask_veh, prox_tau)
             # bar_state_update (ref optimizer.py:205-222): broadcast
             # recomputed halfspaces + local states; lamb_ij per mode
             a_new, b_new = halfspaces(xs[:, 1:, :], self.vcfg,
@@ -1066,6 +1161,8 @@ class ConsensusObcaPlanner:
             z0_t = jnp.moveaxis(bs.z_bar, 1, 0).reshape(t_ax, -1)
             if self.edge_prox:
                 pe_t["z_prev"] = jnp.moveaxis(bs.z_bar, 1, 0)
+            if self.branch_commit:
+                pe_t["d_bar"] = jnp.moveaxis(c["d_bar"], 1, 0)  # [t, P, 2]
             if self.edge_mode == "staged":
                 # block-diagonal staged solve: per-block exact factorization
                 # + one shared globalization across steps (see _edge_stage_f)
@@ -1084,10 +1181,36 @@ class ConsensusObcaPlanner:
                           rho=rho, pair_mask=pair_mask)
                 if self.edge_prox:
                     pe["z_prev"] = bs.z_bar
+                if self.branch_commit:
+                    pe["d_bar"] = c["d_bar"]
                 esol = solve_nlp(self._edge_nlp, bs.z_bar.reshape(-1), pe,
                                  self.scfg)
                 z_bar = self._edge_split(esol.x)
             bs = bs._replace(z_bar=z_bar)
+            d_bar = c["d_bar"]
+            if self.branch_commit:
+                # Freeze the pass SIDE on the commit iteration. The branch
+                # variable is the sign of the pair's LATERAL gap — measured
+                # at the capped steps (tools/exp_limit_cycle.py + the z
+                # geometry probe): the consensus keeps the pair
+                # longitudinally jammed at min_dis (x-gap -3.6 m constant,
+                # certificate pinned down-lane at the (4c) bound) while the
+                # y-gap flips sign nearly every iteration (+-0.3). So:
+                # lateral axis = perpendicular of the lower-index vehicle's
+                # heading (stable, never degenerate — unlike the pair mean
+                # heading, which cancels head-on); ONE side per pair from
+                # the horizon-sum of lateral gaps (per-t signs can disagree
+                # mid-flip); exact tie breaks deterministically to +1
+                # ("pass left" — the road-rules tie-break).
+                th_i = z_bar[self.idx_i, :, 3]              # [P, N-1]
+                lat = jnp.stack([-jnp.sin(th_i), jnp.cos(th_i)], axis=-1)
+                d_now = (z_bar[self.idx_i, :, :2]
+                         - z_bar[self.idx_j, :, :2])        # [P, N-1, 2]
+                side_t = jnp.sum(d_now * lat, axis=-1)      # [P, N-1]
+                s = jnp.where(jnp.sum(side_t, axis=-1, keepdims=True) >= 0.0,
+                              1.0, -1.0)[..., None]         # [P, 1, 1]
+                take = c["it"] + 1 == self.commit_after
+                d_bar = jnp.where(take, s * lat, d_bar)
             if self.lamb_ij_mode == "track_edge":
                 # neighbours plan against the CONSENSUS certificates: the
                 # edge's z-lambda is forced non-degenerate by (6c) (value >=
@@ -1144,11 +1267,18 @@ class ConsensusObcaPlanner:
             edge_kkt = jnp.max(esol.kkt_error)
             nlp_ok = jnp.stack([loc_health[0], edge_conv])
             nlp_kkt = jnp.stack([loc_health[1], edge_kkt])
+            tau_next = prox_tau
+            if self.prox_adaptive:
+                tau_next = jnp.minimum(
+                    jnp.where(primal > c["primal"],
+                              prox_tau * self.prox_growth, prox_tau),
+                    1.0e9).astype(self.dtype)
             return dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
                         loc_x=loc_x, nlp_ok=nlp_ok, nlp_kkt=nlp_kkt,
                         sum_err=dual_new.sum_err, diff_val=dual_new.diff_val,
                         it=c["it"] + 1, done=done, primal=primal, dual=dual,
-                        primal_prev=c["primal"])
+                        primal_prev=c["primal"], d_bar=d_bar,
+                        prox_tau=tau_next)
 
         def cond(c):
             return jnp.logical_and(jnp.logical_not(c["done"]),
@@ -1169,7 +1299,9 @@ class ConsensusObcaPlanner:
                   nlp_kkt=jnp.zeros((2,), self.dtype),
                   primal=jnp.asarray(jnp.inf, self.dtype),
                   primal_prev=jnp.asarray(jnp.inf, self.dtype),
-                  dual=jnp.asarray(jnp.inf, self.dtype))
+                  dual=jnp.asarray(jnp.inf, self.dtype),
+                  d_bar=jnp.zeros((len(self.idx_i), n - 1, 2), self.dtype),
+                  prox_tau=jnp.asarray(self.local_prox, self.dtype))
         return body, cond, c0
 
     def run_scan(self, n_steps: Optional[int] = None,

@@ -18,11 +18,13 @@ res_ok 37/42, capped steps 26-30, the overtaking pass itself):
   hysteresis (freeze lamb_ij while primal rises), relax 0.3/0.5/1.0:
                        res_ok 33/36/35 /42
 
-Conclusion: the oscillation is robust to every damping-class stabilizer;
-the tuned base profile is the optimum of this family. The reference caps
-on the same steps (decentralized_overtaking_ADMM.py:86-90) and proceeds —
-parity holds; beating it needs a branch-commitment mechanism (fix the
-pass side once chosen), left open.
+Conclusion: the oscillation is robust to every damping-class stabilizer
+in THIS family; the tuned base profile is the optimum of it. The reference
+caps on the same steps (decentralized_overtaking_ADMM.py:86-90) and
+proceeds. RESOLVED later in round 4 by annealed LOCAL proximal damping
+(local_prox=700, prox_growth=1.5 -> 42/42 steps converge): the full
+investigation, including why branch commitment and windup changes fail,
+is in tools/exp_conflict_window.py.
 
 Usage: PYTHONPATH=. python tools/exp_stabilizers.py
 """
