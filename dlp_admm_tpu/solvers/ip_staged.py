@@ -39,7 +39,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .linalg import dense_solve
+from .linalg import dense_solve, equil_solve
 from ..config import SolverConfig
 
 
@@ -89,8 +89,14 @@ def block_thomas_solve(diag, upper, rhs):
     the textbook block-Thomas recursion. For H <= 30 horizons the sequential
     chain is short; the per-stage solves are small dense ops that batch well
     under vmap over (vehicles x scenarios).
+
+    In f32 each per-stage solve is Ruiz-equilibrated (:func:`..solvers.linalg
+    .equil_solve`): the planner's annealed-prox Hessians mix O(1e6) diagonal
+    curvature with O(1) constraint rows, which raw f32 LU cannot factor
+    accurately (VERDICT r4 next #1a — the f32-on-TPU flagship enabler).
     """
     t, b = rhs.shape[0], rhs.shape[1]
+    solve = dense_solve if rhs.dtype == jnp.float64 else equil_solve
     up = jnp.concatenate([upper[:t - 1],
                           jnp.zeros((1, b, b), rhs.dtype)], axis=0) \
         if upper.shape[0] >= t else jnp.concatenate(
@@ -101,7 +107,7 @@ def block_thomas_solve(diag, upper, rhs):
         d_k, u_km1, u_k, r_k = blk
         c_k = d_k - u_km1.T @ x_prev
         g_k = r_k - u_km1.T @ y_prev
-        sol = dense_solve(c_k, jnp.concatenate(
+        sol = solve(c_k, jnp.concatenate(
             [u_k, g_k[:, None]], axis=1))
         x_k, y_k = sol[:, :b], sol[:, b]
         return (x_k, y_k), (x_k, y_k)
@@ -337,10 +343,14 @@ def _solve_staged_f32(snlp, w0, p, cfg, yl0, ys0, z0):
                     + jnp.einsum('tji,tj->ti', u_prev, prv) - rhs)
 
         sol = block_thomas_solve(d_blk, u_blk, rhs)           # [T, B]
-        # one iterative-refinement pass: Thomas without pivoting in f32
+        # iterative-refinement pass(es): Thomas without pivoting in f32
         # (the TPU path) loses enough accuracy on ill-conditioned stages to
-        # stall the line search; the correction costs one extra block solve
-        sol = sol - block_thomas_solve(d_blk, u_blk, tridiag_residual(sol))
+        # stall the line search; each correction costs one extra block solve.
+        # f32 gets a second pass (annealed-prox KKT blocks reach kappa ~1e6)
+        n_refine = 1 if dtype == jnp.float64 else 2
+        for _ in range(n_refine):
+            sol = sol - block_thomas_solve(d_blk, u_blk,
+                                           tridiag_residual(sol))
         # Solve verification: block-Thomas has NO pivoting across blocks, so
         # a (near-)singular leading block on a hard nonconvex instance yields
         # finite garbage the NaN guard misses — one tridiagonal matvec checks

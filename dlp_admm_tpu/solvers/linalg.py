@@ -1,20 +1,18 @@
 """Dense linear solves that work in every (backend, dtype) combination.
 
 TPU XLA implements LuDecomposition only for f32/c64 — a plain
-``jnp.linalg.solve`` on f64 operands fails to compile there (the OBCA IP
-solvers need f64: the elastic/tracking weight spread of ~1e7 puts KKT
-condition numbers beyond f32, measured as nlp_ok=0 / kkt_max~5e2 on the
-42-step flagship run in f32). :func:`dense_solve` routes that one case
-through a mixed-precision scheme — Jacobi equilibration, f32 LU
-factorization of the well-scaled matrix, then f64 iterative refinement —
-and is a byte-for-byte ``jnp.linalg.solve`` everywhere else (CPU f64 paths
-and all f32 paths are untouched).
-
-Accuracy: after equilibration the factored matrix carries the *structure*
-condition only (the 1e7 weight spread moves into the diagonal scaling),
-so two refinement passes in f64 recover ~f64-level residuals for the
-planner KKT systems. Verified against CPU f64 in
-``tests/test_ip_staged.py``.
+``jnp.linalg.solve`` on f64 operands fails to compile there.
+:func:`dense_solve` routes that one case through a mixed-precision scheme
+— Jacobi equilibration, f32 LU factorization of the well-scaled matrix,
+then f64 iterative refinement — and is a byte-for-byte
+``jnp.linalg.solve`` everywhere else (CPU f64 paths and all f32 paths are
+untouched). Accuracy: after equilibration the factored matrix carries the
+*structure* condition only, so the refinement passes recover ~f64-level
+residuals for the planner KKT systems; verified against CPU f64 in
+``tests/test_ip_staged.py``. (Running the WHOLE flagship program under
+TPU f64 emulation crashes the v5e worker — round-4 commit e6b69b5 — so
+since round 5 the flagship runs f32-on-TPU instead, enabled by
+:func:`equil_solve` below; see PARITY.md "Flagship TPU residency".)
 """
 from __future__ import annotations
 
@@ -52,3 +50,30 @@ def dense_solve(a, b):
     if a.dtype == jnp.float64 and jax.default_backend() == "tpu":
         return _tpu_f64_solve(a, b)
     return jnp.linalg.solve(a, b)
+
+
+def equil_solve(a, b):
+    """Ruiz-equilibrated ``dense_solve`` + one refinement pass.
+
+    The f32 robustness primitive (VERDICT r4 next #1a): planner KKT blocks
+    mix O(1e6)-scaled prox/penalty curvature rows with O(1) constraint rows
+    and near-zero regularized multiplier diagonals — raw f32 LU loses the
+    small-block solution entirely. One symmetric max-abs (Ruiz) pass brings
+    every row/col to O(1) before factorization: solve (DAD) y = D b,
+    x = D y. A single f32 refinement step on the *equilibrated* system
+    recovers ~1e-6 relative residuals on the staged planner blocks
+    (measured; tests/test_ip_staged.py pins f32 parity).
+
+    ``b`` may be a vector or a matrix of right-hand sides.
+    """
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    r = jnp.max(jnp.abs(a), axis=-1)
+    d = 1.0 / jnp.sqrt(jnp.clip(r, 1e-30, None))
+    a_s = a * d[..., :, None] * d[..., None, :]
+    c = b * d[..., :, None]
+    y = dense_solve(a_s, c)
+    y = y + dense_solve(a_s, c - a_s @ y)
+    x = y * d[..., :, None]
+    return x[..., 0] if vec else x

@@ -147,7 +147,7 @@ class TestShardingEquivalence:
         mesh = planner_mesh(n_scenario=4, n_vehicle=2)
         init_s, bs_s = shard_scenarios(mesh, (init, bs_batch))
         step = sharded_batch_step(pl, mesh)
-        nxt, bs_out, it, pr, du, cv, nlp_ok, nlp_kkt = step(
+        nxt, bs_out, it, pr, du, cv, nlp_ok, nlp_kkt, gap = step(
             init_s, bs_s, jnp.asarray(0, jnp.int32))
         assert nxt.shape == (n_scen, 2, 5)
         assert bool(jnp.all(jnp.isfinite(nxt)))

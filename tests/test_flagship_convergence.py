@@ -8,16 +8,23 @@ Reference driver being matched: the 2-vehicle consensus-ADMM OBCA MPC
 (`:86-90`) at ANY iteration budget — round 4 established they sit on a
 pass-side limit cycle — and its de-facto oracle is visual collision-freedom.
 
-This framework BEATS that: with annealed proximal damping of the local
-solves (``local_prox=700, prox_growth=1.5`` — the round-4 limit-cycle
-breaker; investigation record in ``tools/exp_conflict_window.py``) the full
-run converges on EVERY step. Measured at pin time (CPU f64, tuned profile
-rho=100, staged locals + staged edge, lamb_bar_decay=0.5): 42/42 steps at
-both 0.01 residual thresholds, mean 19.7 iterations, zero capped steps,
-min center distance 4.140 m (base profile: 37/42, 3.646 m). Floors below
-leave margin for the limit cycle's measured environment sensitivity
-(base profile varied 34-37/42 across CPU thread configs; the damped
-profile's contraction mechanism is structurally less sensitive).
+With annealed proximal damping of the local solves (``local_prox=700,
+prox_growth=1.5`` — the round-4 limit-cycle breaker; investigation record
+in ``tools/exp_conflict_window.py``) the full run EXITS UNDER THE
+REFERENCE'S OWN STOPPING RULE on every step where the reference caps.
+Measured at pin time (CPU f64, tuned profile rho=100, staged locals +
+staged edge, lamb_bar_decay=0.5): 42/42 steps at both 0.01 residual
+thresholds, mean 19.7 iterations, zero capped steps, min center distance
+4.140 m (base profile: 37/42, 3.646 m). Floors below leave margin for the
+limit cycle's measured environment sensitivity (base profile varied
+34-37/42 across CPU thread configs).
+
+Honesty note (ADVICE r4): those 0.01 residuals are the reference's
+CHANGE-based definitions, which the annealed prox partially forces; the
+un-fakeable companion is the actual consensus gap ||local - z||_1, also
+asserted below — measured median 0.009 across the run, 0.25-0.37 on the
+conflict-window steps at exit (safety-valid near-consensus points, not
+exact consensus; see PARITY.md "Honesty caveat").
 """
 import numpy as np
 
@@ -31,7 +38,7 @@ class TestFlagshipFullRun:
             ObcaConfig(horizon=8, min_dis=0.1, rho=100.0, max_admm_iters=50),
             scfg=SolverConfig(ip_iters=40, ip_tol=1e-6),
             local_prox=700.0, prox_growth=1.5)
-        states, its, prs, dus, cvs, oks, kkts = pl.run_scan(
+        states, its, prs, dus, cvs, oks, kkts, gaps = pl.run_scan(
             return_health=True)
         n = len(its)
         assert n == 42, n
@@ -59,3 +66,9 @@ class TestFlagshipFullRun:
         # solver health: the final ADMM iteration's local and edge NLPs
         # converged on (nearly) every step
         assert float(np.mean(oks == 1.0)) >= 0.9, oks.min(axis=0)
+
+        # the ACTUAL consensus gap (not change-based; ADVICE r4): small on
+        # the nominal steps (measured median 0.009), bounded through the
+        # conflict window (measured max 0.375)
+        assert float(np.median(gaps)) < 0.02, np.median(gaps)
+        assert float(gaps.max()) < 1.0, gaps.max()
