@@ -112,6 +112,12 @@ class DualUpdateConfig:
     kp_cap: float = 2.5
     ki: float = 3.0
     backcalc_gain: float = 2.0
+    # MATLAB adp sub-variant (ADMM_CVX_two_veh_intesection_adp_PI_
+    # antiwindup1.m:116-148): the integrator gain is ALSO distance-scheduled,
+    # K_I = ki_num / d_min (its K_P cap is 3, vs the Python port's 2.5 —
+    # set kp_cap accordingly when reproducing that file)
+    ki_adaptive: bool = False
+    ki_num: float = 3.0
     # adaptive rho = clip(rho_num / dmin, rho_lo, rho_hi); set lo == hi to disable
     adaptive_rho: bool = True
     rho_num: float = 4.0

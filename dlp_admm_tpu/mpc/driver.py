@@ -96,8 +96,15 @@ def run_obca(formulation: Formulation = Formulation.CONSENSUS,
             states, infos = pl.run(n_steps)
         for t, info in enumerate(infos):
             metrics.log_step(t, 1, elastic=float(info["elastic"]))
+    elif formulation is Formulation.ALADIN:
+        # ALADIN coordinates the unicycle consensus problem (VERDICT r4
+        # next #6): agents = vehicles, coupling = consensus position
+        # copies. It is a PiAdmmConfig-shaped instance, so delegate —
+        # callers wanting full control use run_pi_admm(layout='aladin').
+        return run_pi_admm(scfg=scfg, layout="aladin", n_steps=n_steps,
+                           plot_path=plot_path, **planner_kwargs)
     else:
-        raise ValueError(f"use run_pi_admm / AladinEngine for {formulation}")
+        raise ValueError(f"unknown formulation {formulation}")
 
     if plot_path:
         plot_trajectories(states, plot_path, vcfg,
@@ -115,10 +122,25 @@ def run_pi_admm(cfg: Optional[PiAdmmConfig] = None,
                 plot_path: Optional[str] = None,
                 **engine_kwargs) -> RunResult:
     """Run the unicycle PI-ADMM planner (``classic`` ≙
-    ``casadi_old_PI_ADMM/main.py``, ``pairwise`` ≙ ``casadi/main.py``)."""
+    ``casadi_old_PI_ADMM/main.py``, ``pairwise`` ≙ ``casadi/main.py``) or
+    the ALADIN coordinator on the same problem (``layout='aladin'`` —
+    SURVEY.md §2.4's fifth coordination layout, on a planning instance)."""
     from ..models.pi_admm import PiAdmmEngine
 
     cfg = cfg or PiAdmmConfig()
+    if layout == "aladin":
+        from ..models.aladin import AladinUnicyclePlanner
+        pl = AladinUnicyclePlanner(cfg, scfg=scfg, **engine_kwargs)
+        metrics = RunMetrics()
+        with metrics.step_timer():
+            states, iters = pl.run(n_steps=n_steps)
+        for t, it in enumerate(iters):
+            metrics.log_step(t, int(it))
+        if plot_path:
+            plot_trajectories(states, plot_path, footprints=False,
+                              title="aladin")
+        return RunResult(states=states, metrics=metrics,
+                         extras={"planner": pl, "iterations": iters})
     eng = PiAdmmEngine(cfg, dual_cfg, scfg, layout=layout, **engine_kwargs)
     metrics = RunMetrics()
     with metrics.step_timer():
