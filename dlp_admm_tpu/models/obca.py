@@ -1051,6 +1051,34 @@ class ConsensusObcaPlanner:
         out = jax.lax.while_loop(cond, body, c0)
         return self._finish_mpc_step(out)
 
+    def _mpc_step_fixed_impl(self, init_state, bar_state_prev: BarState,
+                             step_idx):
+        """The same MPC step as a FIXED-length ``lax.scan`` with
+        freeze-on-done masking instead of a ``lax.while_loop``.
+
+        Identical results to :meth:`_mpc_step_impl` (a done lane's carry is
+        frozen exactly at its while-exit state); always executes
+        ``max_admm_iters`` body evaluations. Exists for the scenario-batched
+        TPU path: the v5e toolchain compiles a vmapped while_loop of this
+        body pathologically slowly (>20 min for S=16, sometimes crashing
+        the worker), while the scan form compiles fine; on a batch the
+        while_loop executes max-over-lanes trips anyway, so the scan's
+        fixed cost is close to the batched-while cost in the conflict
+        window.
+        """
+        body, _, c0 = self._admm_parts(init_state, bar_state_prev, step_idx)
+
+        def scan_body(c, _):
+            c2 = body(c)
+            stop = jnp.logical_or(c["done"],
+                                  c["it"] >= self.ocfg.max_admm_iters)
+            return jax.tree.map(
+                lambda old, new: jnp.where(stop, old, new), c, c2), None
+
+        out, _ = jax.lax.scan(scan_body, c0, None,
+                              length=self.ocfg.max_admm_iters)
+        return self._finish_mpc_step(out)
+
     def mpc_step_trace(self, init_state, bar_state_prev: BarState, step_idx,
                        n_iters: int):
         """Debug/observability surface: run EXACTLY ``n_iters`` ADMM
@@ -1403,6 +1431,40 @@ class ConsensusObcaPlanner:
                                  np.asarray(sts)])
         return (states, np.asarray(its).T, np.asarray(prs).T,
                 np.asarray(dus).T, np.asarray(cvs).T, np.asarray(gaps).T)
+
+    def run_batch_steps(self, init_states, n_steps: Optional[int] = None):
+        """Scenario-batched MPC run with a HOST step loop over one jitted
+        ``vmap(_mpc_step_impl)`` program (the same unit the sharded batched
+        step jits). Same outputs as :meth:`run_scan_batch`.
+
+        Exists because wrapping the batched step in a whole-run ``lax.scan``
+        (:meth:`run_scan_batch`) compiles in seconds on CPU but hangs/
+        crashes the v5e's compiler — scan(42) x vmapped while_loop x nested
+        IP scans is past what that toolchain handles; one step per dispatch
+        compiles in ~6 min and runs fine (measured round 5).
+        """
+        ocfg, vcfg = self.ocfg, self.vcfg
+        total = int(vcfg.T / vcfg.dt - ocfg.horizon)
+        n_steps = total if n_steps is None else n_steps
+        init_states = jnp.asarray(init_states, self.dtype)
+        s = init_states.shape[0]
+        bs = self.create_bar_state()
+        bs_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape),
+                            bs)
+        if not hasattr(self, "_batch_step_jit"):
+            self._batch_step_jit = jax.jit(jax.vmap(
+                self._mpc_step_fixed_impl, in_axes=(0, 0, None)))
+        st = init_states
+        sts, rows = [np.asarray(st)], []
+        for k in range(n_steps):
+            st, bs_b, it, pr, du, cv, _ok, _kkt, gap = self._batch_step_jit(
+                st, bs_b, jnp.asarray(k, jnp.int32))
+            sts.append(np.asarray(st))
+            rows.append((np.asarray(it), np.asarray(pr), np.asarray(du),
+                         np.asarray(cv), np.asarray(gap)))
+        its, prs, dus, cvs, gaps = (np.stack([r[i] for r in rows], axis=1)
+                                    for i in range(5))
+        return np.stack(sts), its, prs, dus, cvs, gaps
 
     def run(self, n_steps: Optional[int] = None,
             checkpoint_path: Optional[str] = None, resume: bool = False):

@@ -52,8 +52,16 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
     Returns ``step(init_states [S, V, 5], bar_state, step_idx)`` with
     ``bar_state`` leaves carrying a leading scenario axis ``[S, V, ...]``;
     outputs ``(next_state [S, V, 5], bar_state, iters [S], primal [S],
-    dual [S], converged [S])``. ``S`` must divide by the scenario mesh
-    dimension and ``V = planner.num_veh`` by the vehicle mesh dimension.
+    dual [S], converged [S], gap [S])``. ``S`` must divide by the scenario
+    mesh dimension and ``V = planner.num_veh`` by the vehicle mesh
+    dimension.
+
+    This is also the scenario-batched TPU driver for a 1x1 mesh: the ADMM
+    loop is ONE ``lax.while_loop`` whose carry is lane-batched with
+    hand-rolled freeze masking — the v5e toolchain compiles this fine,
+    while ``vmap`` of the per-scenario step's while_loop (or its fixed-scan
+    variant) hangs its compiler for 20+ min and can crash the worker
+    (round-5 measurements; see ``ConsensusObcaPlanner.run_batch_steps``).
     """
     ocfg = planner.ocfg
     v, n = planner.num_veh, ocfg.horizon
@@ -99,7 +107,10 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                 lambda b_, i_, m_: planner._local_params(
                     b_, i_, ref_win, rho, m_))(bsf, init_full, mask_veh_full)
 
-        def local_solve(bsf, x_prev_blk, mask_veh_full):
+        def local_solve(bsf, x_prev_blk, mask_veh_full, prox_tau):
+            """``prox_tau [S_blk]``: per-lane annealed-prox weight (the
+            flagship's limit-cycle breaker, honored here since round 5 so
+            the scenario-batched TPU path runs the SAME tuned profile)."""
             if planner.local_warm_mode == "previous":
                 x0 = x_prev_blk
             else:
@@ -112,6 +123,12 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                         b_, i_, ref_win, rho, m_))(
                             bsf, init_full, mask_veh_full))
                 w0 = jax.vmap(jax.vmap(planner._loc_to_staged))(x0)
+                if planner.local_prox:
+                    t_ = n - 1
+                    sp_blk["w_prev"] = jax.vmap(jax.vmap(
+                        planner._loc_to_staged))(x_prev_blk)
+                    sp_blk["prox_tau"] = jnp.broadcast_to(
+                        prox_tau[:, None, None], (s_blk, vb, t_))
                 lsol = jax.vmap(jax.vmap(
                     lambda ww, pp: solve_staged(
                         planner._local_staged, ww, pp, planner.scfg)))(
@@ -120,6 +137,10 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                     lsol.w, init_blk)
             else:
                 p_blk = slice_blk(local_params_full(bsf, mask_veh_full))
+                if planner.local_prox:
+                    p_blk["x_prev"] = x_prev_blk
+                    p_blk["prox_tau"] = jnp.broadcast_to(
+                        prox_tau[:, None], (s_blk, vb))
                 lsol = jax.vmap(jax.vmap(
                     lambda xx, pp: solve_nlp(
                         planner._local_nlp, xx, pp, planner.scfg)))(x0, p_blk)
@@ -160,7 +181,20 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
 
             bsf = full_bs(bs)
             pair_mask, mask_veh_full = masks_from_full(bsf)
-            xs, us, lam, loc_x = local_solve(bsf, c["loc_x"], mask_veh_full)
+            # per-lane annealed prox weight (flagship schedule, obca.py)
+            if planner.prox_adaptive:
+                prox_tau = c["prox_tau"]
+            else:
+                k_eff = jnp.maximum(c["it"] - planner.prox_after, 0)
+                prox_tau = jnp.where(
+                    c["it"] >= planner.prox_after,
+                    jnp.minimum(
+                        planner.local_prox
+                        * planner.prox_growth ** k_eff.astype(dtype),
+                        planner.prox_tau_max),
+                    0.0).astype(dtype)
+            xs, us, lam, loc_x = local_solve(bsf, c["loc_x"], mask_veh_full,
+                                             prox_tau)
 
             # bar_state_update (ref optimizer.py:205-222): fresh halfspaces +
             # local states on the own block; the broadcast happens via the
@@ -215,15 +249,26 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             dual_r = jax.lax.psum(
                 jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]), axis=(1, 2, 3)),
                 "vehicle") / jnp.maximum(rho_dual, 1.0)
+            # actual consensus gap ||local - z||_1 per lane (ADVICE r4 —
+            # the un-fakeable companion to the change-based residuals)
+            gap = jax.lax.psum(
+                jnp.sum(jnp.abs(local_fullx_blk - bs.z_bar), axis=(1, 2, 3)),
+                "vehicle")
             lane_done = jnp.logical_and(primal <= ocfg.primal_thres,
                                         dual_r <= ocfg.dual_thres)
 
+            tau_next = prox_tau
+            if planner.prox_adaptive:
+                tau_next = jnp.minimum(
+                    jnp.where(primal > c["primal"],
+                              prox_tau * planner.prox_growth, prox_tau),
+                    planner.prox_tau_max).astype(dtype)
             new = dict(bs=bs, us_prev=us, lamb_prev=bs.lamb_bar, xs=xs,
                        loc_x=loc_x, sum_err=dual_new.sum_err,
                        diff_val=dual_new.diff_val, it=c["it"] + 1,
                        done=jnp.logical_or(c["done"], lane_done),
-                       primal=primal, dual=dual_r,
-                       primal_prev=c["primal"])
+                       primal=primal, dual=dual_r, gap=gap,
+                       primal_prev=c["primal"], prox_tau=tau_next)
             # freeze lanes that were not active this iteration (matches the
             # per-lane select of a vmapped while_loop on one device)
             def sel(new_leaf, old_leaf):
@@ -251,7 +296,9 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
                   done=jnp.zeros((s_blk,), bool),
                   primal=jnp.full((s_blk,), jnp.inf, dtype),
                   primal_prev=jnp.full((s_blk,), jnp.inf, dtype),
-                  dual=jnp.full((s_blk,), jnp.inf, dtype))
+                  dual=jnp.full((s_blk,), jnp.inf, dtype),
+                  gap=jnp.full((s_blk,), jnp.inf, dtype),
+                  prox_tau=jnp.full((s_blk,), planner.local_prox, dtype))
         out = jax.lax.while_loop(cond, body, c0)
 
         next_blk = out["xs"][:, :, 1, :]
@@ -263,7 +310,7 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             bs_out = bs_out._replace(
                 lamb_bar=planner.lamb_bar_decay * bs_out.lamb_bar)
         return (next_blk, planner.shift_bar_state(bs_out, batch_dims=1),
-                out["it"], out["primal"], out["dual"], conv)
+                out["it"], out["primal"], out["dual"], conv, out["gap"])
 
     sv = P("scenario", "vehicle")
     s_only = P("scenario")
@@ -272,6 +319,6 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
     step = jax.shard_map(step_blk, mesh=mesh,
                          in_specs=(sv, bs_spec, P()),
                          out_specs=(sv, bs_spec, s_only, s_only, s_only,
-                                    s_only),
+                                    s_only, s_only),
                          check_vma=False)
     return jax.jit(step)

@@ -52,6 +52,43 @@ def dense_solve(a, b):
     return jnp.linalg.solve(a, b)
 
 
+def gj_solve(a, b):
+    """Batched dense solve by in-XLA Gauss-Jordan elimination, NO custom
+    call (A/B candidate for the TPU hot path — VERDICT r4 next #8).
+
+    XLA:TPU lowers ``jnp.linalg.solve`` to a LuDecomposition custom call
+    that serializes tiny batched systems; this is the same no-pivoting
+    elimination the block-Thomas f32 path effectively relies on (stability
+    comes from Ruiz equilibration + refinement in :func:`equil_solve` /
+    the staged solver, not from pivoting), expressed as n fused
+    rank-1-update steps that vectorize over the batch on the VPU.
+    ``b`` may be a vector or matrix of right-hand sides.
+    """
+    vec = b.ndim == a.ndim - 1
+    if vec:
+        b = b[..., None]
+    n = a.shape[-1]
+    aug = jnp.concatenate([a, b], axis=-1)            # [..., n, n+k]
+
+    def body(j, aug):
+        piv = jax.lax.dynamic_index_in_dim(aug, j, axis=-2,
+                                           keepdims=False)   # [..., n+k]
+        pjj = jax.lax.dynamic_index_in_dim(piv, j, axis=-1,
+                                           keepdims=True)
+        pjj = jnp.where(jnp.abs(pjj) > 1e-30, pjj,
+                        jnp.where(pjj >= 0, 1e-30, -1e-30))
+        piv = piv / pjj
+        factors = jax.lax.dynamic_index_in_dim(aug, j, axis=-1,
+                                               keepdims=False)  # [..., n]
+        upd = aug - factors[..., :, None] * piv[..., None, :]
+        row_mask = (jnp.arange(n) == j)[:, None]      # keep pivot row
+        return jnp.where(row_mask, piv[..., None, :], upd)
+
+    aug = jax.lax.fori_loop(0, n, body, aug)
+    x = aug[..., :, n:]
+    return x[..., 0] if vec else x
+
+
 def equil_solve(a, b):
     """Ruiz-equilibrated ``dense_solve`` + one refinement pass.
 

@@ -92,3 +92,20 @@ class TestConsensusSpmd:
         pl, init, bs_b = _setup(2, 6, 2, use_staged=True, edge_mode="staged")
         mesh = planner_mesh(n_scenario=2, n_vehicle=2)
         _compare(pl, init, bs_b, mesh)
+
+    def test_annealed_prox_profile(self):
+        """The flagship's TUNED profile (annealed local prox — the
+        limit-cycle breaker) is honored by the SPMD step since round 5:
+        per-lane tau follows the same schedule, so the scenario-batched
+        TPU driver runs the same algorithm as the single-device bench."""
+        pl, init, bs_b = _setup(2, 6, 2, use_staged=True,
+                                edge_mode="staged", local_prox=700.0,
+                                prox_growth=1.5, prox_tau_max=1.0e9)
+        mesh = planner_mesh(n_scenario=2, n_vehicle=2)
+        sharded = _compare(pl, init, bs_b, mesh)
+        # the gap output (7th) matches the single-device step's
+        single = jax.jit(jax.vmap(pl._mpc_step_impl, in_axes=(0, 0, None)))(
+            init, bs_b, jnp.asarray(0, jnp.int32))
+        np.testing.assert_allclose(np.asarray(sharded[6]),
+                                   np.asarray(single[8]), rtol=1e-6,
+                                   atol=1e-8)
