@@ -77,13 +77,13 @@ def run_spmd_batch(pl, inits, n_steps):
     return (np.stack(sts),) + outs
 
 
-def run_batch(n_scen, n_steps, timed=True):
+def run_batch(n_scen, n_steps, timed=True, jitter=0.5):
     pl = flagship_planner(2)
     rng = np.random.default_rng(0)
     init0 = np.asarray(pl.refs[:, 0, :])
     inits = np.broadcast_to(init0, (n_scen,) + init0.shape).copy()
     # lateral + longitudinal jitter, zero for scenario 0 (the pinned run)
-    pert = 0.5 * rng.normal(size=(n_scen, 2, 2))
+    pert = jitter * rng.normal(size=(n_scen, 2, 2))
     pert[0] = 0.0
     inits[:, :, :2] += pert
     t0 = time.time()
@@ -105,6 +105,13 @@ def run_batch(n_scen, n_steps, timed=True):
           f"  gap_med={np.median(gaps):.4f} gap_max={gaps.max():.3f}"
           f"  finite={bool(np.all(np.isfinite(st)))}")
     print(f"  per-scenario iters: {its.sum(axis=1)}")
+    p = st[..., :2]
+    d_lane = np.linalg.norm(p[:, :, 0] - p[:, :, 1], axis=-1).min(axis=0)
+    print(f"  per-scenario min dist: {np.round(d_lane, 3).tolist()}")
+    print(f"  per-scenario res_ok: "
+          f"{((prs <= 0.01) & (dus <= 0.01)).sum(axis=1).tolist()}")
+    print(f"  per-scenario gap max: "
+          f"{np.round(gaps.max(axis=1), 2).tolist()}")
     return total_iters / el, res_ok / lanes, d
 
 
@@ -137,11 +144,12 @@ def main():
     ap.add_argument("mode", choices=["batch", "v8"])
     ap.add_argument("--scen", type=int, default=16)
     ap.add_argument("--steps", type=int, default=42)
+    ap.add_argument("--jitter", type=float, default=0.5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     if args.mode == "batch":
-        run_batch(args.scen, args.steps)
+        run_batch(args.scen, args.steps, jitter=args.jitter)
     else:
         run_v8(min(args.steps, 10) if args.steps == 42 else args.steps)
 

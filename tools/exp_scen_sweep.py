@@ -32,11 +32,12 @@ from dlp_admm_tpu.models.pi_admm import PiAdmmEngine  # noqa: E402
 from dlp_admm_tpu.scenarios import pi_admm_overtake_refs  # noqa: E402
 
 
-def build_engine():
+def build_engine(iter_num=40):
     num_veh, horizon = 16, 30
     speeds = tuple(8.0 if i % 2 == 0 else 4.0 for i in range(num_veh))
     cfg = PiAdmmConfig(num_veh=num_veh, horizon=horizon, speeds=speeds,
-                       dis_thres=2.0, iter_num=40, eps_pri=1.0, eps_dual=1.0,
+                       dis_thres=2.0, iter_num=iter_num, eps_pri=1.0,
+                       eps_dual=1.0,
                        stop_needs_clearance=False, eps_per_edge=True)
     refs, xt0 = pi_admm_overtake_refs(cfg)
     eng = PiAdmmEngine(cfg, DualUpdateConfig(windup_sat=200.0),
@@ -53,9 +54,13 @@ def main():
     ap.add_argument("--scens", default="64,128,256,512,1024")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--budget", type=int, default=210)
+    ap.add_argument("--iter-num", type=int, default=40,
+                    help="per-step ADMM cap (the capped-lane lever: lanes "
+                         "whose hard step needs more than this cap there "
+                         "even with whole-run budget left)")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    eng, cfg, xt0 = build_engine()
+    eng, cfg, xt0 = build_engine(args.iter_num)
     rng = np.random.default_rng(0)
     rows = []
     for n_scen in [int(x) for x in args.scens.split(",")]:
