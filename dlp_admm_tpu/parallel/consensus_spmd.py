@@ -46,6 +46,32 @@ from ..solvers.ip import solve_nlp
 from ..solvers.ip_staged import solve_staged
 
 
+def run_scenario_batch(planner, init_states, n_steps: int):
+    """Scenario-batched flagship MPC run through the SPMD step on a 1x1
+    mesh (single device) — the compilable batched form on the v5e (see
+    module docstring). ``init_states [S, V, 5]``; returns
+    ``(states [n+1, S, V, 5], iters, primal, dual, conv, gap)`` with
+    ``[S, n]`` trailing leaves. Works identically on CPU (used by the
+    bench's no-TPU fallback and the f64 control runs).
+    """
+    import numpy as np
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("scenario", "vehicle"))
+    step = make_consensus_spmd_step(planner, mesh)
+    s = init_states.shape[0]
+    bs = planner.create_bar_state()
+    bs_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape), bs)
+    st = jnp.asarray(init_states, planner.dtype)
+    sts, rows = [np.asarray(st)], []
+    for k in range(n_steps):
+        st, bs_b, it, pr, du, cv, gap = step(st, bs_b,
+                                             jnp.asarray(k, jnp.int32))
+        sts.append(np.asarray(st))
+        rows.append(tuple(np.asarray(x) for x in (it, pr, du, cv, gap)))
+    outs = tuple(np.stack([r[i] for r in rows], axis=1) for i in range(5))
+    return (np.stack(sts),) + outs
+
+
 def make_consensus_spmd_step(planner, mesh: Mesh):
     """Build the sharded MPC step of a :class:`ConsensusObcaPlanner`.
 

@@ -38,12 +38,12 @@ from dlp_admm_tpu.config import ObcaConfig, SolverConfig, VehicleConfig  # noqa:
 from dlp_admm_tpu.models.obca import ConsensusObcaPlanner  # noqa: E402
 
 
-def flagship_planner(num_veh=2):
+def flagship_planner(num_veh=2, ip_iters=40, tau_max=1.0e9):
     return ConsensusObcaPlanner(
         ObcaConfig(num_veh=num_veh, horizon=8, min_dis=0.1, rho=100.0,
                    max_admm_iters=50),
-        scfg=SolverConfig(ip_iters=40, ip_tol=1e-4),
-        local_prox=700.0, prox_growth=1.5, prox_tau_max=1.0e9,
+        scfg=SolverConfig(ip_iters=ip_iters, ip_tol=1e-4),
+        local_prox=700.0, prox_growth=1.5, prox_tau_max=tau_max,
         dtype=jnp.float32)
 
 
@@ -55,30 +55,15 @@ def min_pair_dist(states, num_veh):
 
 
 def run_spmd_batch(pl, inits, n_steps):
-    """Scenario-batched flagship run through the consensus-SPMD step on a
-    1x1 mesh (the compilable batched form — see consensus_spmd docstring).
-    Returns (states [n+1, S, V, 5], its/prs/dus/cvs/gaps [S, n])."""
-    from jax.sharding import Mesh
-    from dlp_admm_tpu.parallel.consensus_spmd import make_consensus_spmd_step
-    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
-                ("scenario", "vehicle"))
-    step = make_consensus_spmd_step(pl, mesh)
-    s = inits.shape[0]
-    bs = pl.create_bar_state()
-    bs_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (s,) + a.shape), bs)
-    st = jnp.asarray(inits, pl.dtype)
-    sts, rows = [np.asarray(st)], []
-    for k in range(n_steps):
-        st, bs_b, it, pr, du, cv, gap = step(st, bs_b,
-                                             jnp.asarray(k, jnp.int32))
-        sts.append(np.asarray(st))
-        rows.append(tuple(np.asarray(x) for x in (it, pr, du, cv, gap)))
-    outs = tuple(np.stack([r[i] for r in rows], axis=1) for i in range(5))
-    return (np.stack(sts),) + outs
+    """Scenario-batched flagship run (consensus-SPMD step on a 1x1 mesh —
+    the compilable batched form; see consensus_spmd docstring)."""
+    from dlp_admm_tpu.parallel.consensus_spmd import run_scenario_batch
+    return run_scenario_batch(pl, inits, n_steps)
 
 
-def run_batch(n_scen, n_steps, timed=True, jitter=0.5):
-    pl = flagship_planner(2)
+def run_batch(n_scen, n_steps, timed=True, jitter=0.5, ip_iters=40,
+              tau_max=1.0e9):
+    pl = flagship_planner(2, ip_iters=ip_iters, tau_max=tau_max)
     rng = np.random.default_rng(0)
     init0 = np.asarray(pl.refs[:, 0, :])
     inits = np.broadcast_to(init0, (n_scen,) + init0.shape).copy()
@@ -145,11 +130,14 @@ def main():
     ap.add_argument("--scen", type=int, default=16)
     ap.add_argument("--steps", type=int, default=42)
     ap.add_argument("--jitter", type=float, default=0.5)
+    ap.add_argument("--ip-iters", type=int, default=40)
+    ap.add_argument("--tau-max", type=float, default=1.0e9)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     if args.mode == "batch":
-        run_batch(args.scen, args.steps, jitter=args.jitter)
+        run_batch(args.scen, args.steps, jitter=args.jitter,
+                  ip_iters=args.ip_iters, tau_max=args.tau_max)
     else:
         run_v8(min(args.steps, 10) if args.steps == 42 else args.steps)
 
