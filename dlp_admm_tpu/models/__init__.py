@@ -1,5 +1,10 @@
 """Planner formulations (SURVEY.md §2.4: one coordinator, five layouts)."""
-from .aladin import AladinEngine, AladinProblem, AladinState  # noqa: F401
+from .aladin import (  # noqa: F401
+    AladinEngine,
+    AladinProblem,
+    AladinState,
+    AladinUnicyclePlanner,
+)
 from .bilevel import (  # noqa: F401
     BilevelObcaPlanner,
     FixedDualState,
