@@ -191,6 +191,13 @@ class ObcaConfig:
     use_delay_tightening: bool = False   # `prob` flag: chance-tightened halfspaces
     primal_thres: float = 0.01
     dual_thres: float = 0.01
+    # scale the residual thresholds by num_veh/2: the reference's 0.01
+    # values gate SUMS over all vehicles' controls / duals, tuned for its
+    # 2-vehicle driver (decentralized_overtaking_ADMM.py:82-90) — at V=8
+    # the same totals are 4x stricter per vehicle, and every step caps
+    # (measured, tools/exp_obca_batch.py v8). The OBCA analogue of the PI
+    # line's eps_per_edge. Off by default = exact reference semantics.
+    thres_per_veh: bool = False
     rho: float = 1.0
     # dual-ascent step size; None couples it to the AL penalty `rho` (the
     # standard ADMM choice, and the reference's: lambda_update(1) with

@@ -1306,8 +1306,11 @@ class ConsensusObcaPlanner:
             primal = jnp.sum(jnp.abs(us - c["us_prev"]))
             dual = (jnp.sum(jnp.abs(bs.lamb_bar - c["lamb_prev"]))
                     / jnp.maximum(dual_new.rho, 1.0))
-            done = jnp.logical_and(primal <= ocfg.primal_thres,
-                                   dual <= ocfg.dual_thres)
+            # threshold scaling for V > 2 (config.thres_per_veh): the
+            # 0.01 values gate V-vehicle SUMS tuned at V=2
+            t_scale = (self.num_veh / 2.0) if ocfg.thres_per_veh else 1.0
+            done = jnp.logical_and(primal <= ocfg.primal_thres * t_scale,
+                                   dual <= ocfg.dual_thres * t_scale)
             # solver health of THIS iteration (observability: fraction of
             # local/edge NLPs converged + worst KKT error — SURVEY §5 asks
             # for runtime self-checks; these expose fixed-budget solve

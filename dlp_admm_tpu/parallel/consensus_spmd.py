@@ -280,8 +280,10 @@ def make_consensus_spmd_step(planner, mesh: Mesh):
             gap = jax.lax.psum(
                 jnp.sum(jnp.abs(local_fullx_blk - bs.z_bar), axis=(1, 2, 3)),
                 "vehicle")
-            lane_done = jnp.logical_and(primal <= ocfg.primal_thres,
-                                        dual_r <= ocfg.dual_thres)
+            t_scale = (v / 2.0) if ocfg.thres_per_veh else 1.0
+            lane_done = jnp.logical_and(
+                primal <= ocfg.primal_thres * t_scale,
+                dual_r <= ocfg.dual_thres * t_scale)
 
             tau_next = prox_tau
             if planner.prox_adaptive:

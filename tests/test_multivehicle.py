@@ -102,3 +102,36 @@ class TestConsensusMultiVehicle:
         for a, b in [(0, 1), (2, 3)]:
             d = np.linalg.norm(states[:, a, :2] - states[:, b, :2], axis=-1)
             assert d.min() > 3.5
+
+    def test_thres_per_veh_scaling_converges_v4(self):
+        """The reference's 0.01 residual thresholds gate V-vehicle SUMS
+        tuned at V=2 — at V >> 2 the same totals are V/2x stricter per
+        vehicle (at V=8 every step of the CPU run caps on them,
+        tools/exp_obca_batch.py / PARITY.md). ``thres_per_veh`` (the OBCA
+        analogue of the PI line's eps_per_edge) scales them by V/2; this
+        pins the mechanism at V=4: strictly fewer iterations on every
+        step (measured (9,9,3) vs (10,10,4)) at identical safety."""
+        from dlp_admm_tpu.config import ObcaConfig
+        from dlp_admm_tpu.models.obca import ConsensusObcaPlanner
+
+        def run(per_veh):
+            pl = ConsensusObcaPlanner(
+                ObcaConfig(num_veh=4, horizon=8, min_dis=0.1,
+                           max_admm_iters=12, rho=100.0,
+                           thres_per_veh=per_veh),
+                scfg=SolverConfig(ip_iters=25, ip_tol=1e-6),
+                gate_pairs=True, gate_thres=12.0,
+                local_prox=700.0, prox_growth=1.5)
+            states, iters, res, flags = pl.run(n_steps=3)
+            assert np.all(np.isfinite(states))
+            for a, b in [(0, 1), (2, 3)]:
+                d = np.linalg.norm(states[:, a, :2] - states[:, b, :2],
+                                   axis=-1)
+                assert d.min() > 2.0
+            return np.asarray(iters)
+
+        it_fixed = run(False)
+        it_scaled = run(True)
+        assert int(it_scaled.sum()) < int(it_fixed.sum()), \
+            (it_fixed, it_scaled)
+        assert np.all(it_scaled <= it_fixed), (it_fixed, it_scaled)
